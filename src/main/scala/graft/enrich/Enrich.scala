@@ -1,0 +1,69 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.LookupRow
+
+/** Enrich stage: constant-field insertion with the reference's overwrite
+  * semantics (insert_field.rs:84-86, insert_ts.rs:89-91) plus the keyed
+  * broadcast-lookup enrich the north rule adds on top (role/tool metadata).
+  */
+object Enrich {
+
+  /** insert_field on a typed top-level column.
+    * overwrite=false keeps an existing non-null value (insert_field.rs:84-86:
+    * only insert if the key is absent).
+    */
+  def insertField(df: DataFrame, field: String, value: Column, overwrite: Boolean): DataFrame =
+    if (overwrite || !df.columns.contains(field)) df.withColumn(field, value)
+    else df.withColumn(field, coalesce(col(field), value))
+
+  /** insert_field into the open-schema `fields` map (the reference's JSON
+    * object). Avoids map_concat duplicate-key errors by filtering first.
+    */
+  def insertMapField(fields: Column, key: String, value: Column, overwrite: Boolean): Column = {
+    val added = map_concat(fields, map(lit(key), value.cast("string")))
+    if (overwrite)
+      map_concat(map_filter(fields, (k, _) => k =!= key), map(lit(key), value.cast("string")))
+    else
+      when(map_contains_key(fields, lit(key)), fields).otherwise(added)
+  }
+
+  /** insert_ts with an injected run clock (insert_ts.rs:78-91; wall-clock
+    * there, fixed parameter here for replay determinism). ts_type one of
+    * epoch (millis), rfc2822, rfc3339 (insert_ts.rs:44-47,81-87).
+    */
+  def insertTs(fields: Column, key: String, runTsMillis: Long, tsType: String,
+      overwrite: Boolean): Column = {
+    val ts = timestamp_millis(lit(runTsMillis))
+    val v: Column = tsType match {
+      case "epoch"   => lit(runTsMillis).cast("string")
+      case "rfc3339" => date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
+      case "rfc2822" => date_format(ts, "EEE, dd MMM yyyy HH:mm:ss Z")
+      case other     => throw new IllegalArgumentException(
+        s"Unknown ts_type '$other' (expected epoch|rfc2822|rfc3339)")
+    }
+    insertMapField(fields, key, v, overwrite)
+  }
+
+  /** The default role/tool metadata lookup (FIXTURES.md §3). Tiny: always a
+    * broadcast-hash join, no shuffle of the fact side.
+    */
+  def defaultLookup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val roles = Seq("user" -> "human", "assistant" -> "model",
+      "tool" -> "machine", "system" -> "control")
+    val tools = Seq("none" -> "n/a", "bash" -> "shell", "search" -> "retrieval",
+      "browser" -> "web", "code" -> "editor")
+    (for ((r, rk) <- roles; (t, tc) <- tools)
+      yield LookupRow(r, t, rk, tc)).toDF()
+  }
+
+  /** Broadcast left-outer lookup join: unmatched rows keep null metadata,
+    * never dropped (SURVEY.md §2.6 Joins). The broadcast hint keeps the big
+    * side shuffle-free at any scale; if the lookup ever outgrew the
+    * broadcast threshold AQE would fall back to sort-merge.
+    */
+  def withLookup(df: DataFrame, lookup: DataFrame): DataFrame =
+    df.join(broadcast(lookup), Seq("role", "tool"), "left_outer")
+}

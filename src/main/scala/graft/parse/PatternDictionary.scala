@@ -1,0 +1,216 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+import graft.functions.GraftFunctions.{logfmt_parse, logfmt_parse_fortinet}
+
+/** The compiled pattern dictionary — the Spark-native replacement for the
+  * reference's per-row Python transform (log-ship/src/plugins/python.rs) and
+  * native parsers (syslog.rs, fortinet.rs, logfmt.rs). Each entry compiles a
+  * fixed parse recipe to a Catalyst `Column` tree (`regexp_extract`, `split`,
+  * `try_to_timestamp`, casts, one custom `LogfmtParse` expression) so the
+  * whole parse stage runs inside WholeStageCodegen with no per-row UDF — the
+  * exact optimization the reference docs beg operators to do by hand
+  * (site/docs/config.md:166-174,214-217).
+  *
+  * Recipes (reference provenance):
+  *   - fortinet: pri-strip + logfmt + date/time stitch (fortinet.rs:73-111)
+  *   - syslog:   RFC3164 header + pri -> facility/severity (syslog.rs:22-97)
+  *   - combined: Apache/Nginx access log (cargo_deb/assets/scripts/web_servers.py:7,10-51)
+  *   - error:    Apache httpd error log (web_servers.py:54-89)
+  *   - kern:     /var/log/kern.log (cargo_deb/assets/scripts/kern.py:9-37)
+  *   - json:     parse_json path of the file input (file.rs:136-151)
+  *   - mini:     int_tests 3-token format (int_tests/test_input1.py)
+  *
+  * All timestamps land as epoch values matching the reference: millis for
+  * syslog/combined/error/kern (e.g. web_servers.py:33), SECONDS for fortinet
+  * (fortinet.rs:105 `.timestamp()`). Unparseable rows are tagged
+  * `malformed`, never dropped silently (warn+drop+count policy,
+  * file.rs:142-147 — here: quarantine sink + count).
+  */
+object PatternDictionary {
+
+  /** Open flat JSON object -> map<string,string>. */
+  val FlatMapType: MapType = MapType(StringType, StringType)
+
+  val Formats: Seq[String] =
+    Seq("fortinet", "syslog", "combined", "error", "kern", "json", "mini")
+
+  // ---- detection predicates (cheap, run before extraction) ----
+
+  def isFortinet(text: Column): Column = text.rlike("^<\\d+>date=")
+
+  def isSyslog(text: Column): Column = text.rlike(SyslogRe)
+
+  def isCombined(text: Column): Column = text.rlike(CombinedRe)
+
+  def isError(text: Column): Column = text.rlike(ErrorRe)
+
+  def isKern(text: Column): Column = text.rlike(KernRe)
+
+  def isJson(text: Column): Column =
+    text.startsWith("{") && from_json(text, FlatMapType).isNotNull
+
+  def isMini(text: Column): Column = text.rlike(MiniRe)
+
+  // ---- regexes (shared by detect + extract) ----
+
+  // RFC3164: <pri>MMM [d]d HH:mm:ss host app[pid]: msg   (syslog.rs:22-97)
+  val SyslogRe: String =
+    "^<(\\d+)>([A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[\\s]+)(?:\\[(\\d+)\\])?: (.*)$"
+
+  // host ident user [ts] "METHOD path proto" status size "ref" "ua"
+  // (web_servers.py:7 anchored combined_pattern + the split(' ', 3) prefix)
+  val CombinedRe: String =
+    "^(\\S+) (\\S+) (\\S+) \\[(.+)\\] \"([A-Z]+) (.+) (.+)\" (\\d+) (\\d+) \"(.+)\" \"(.+)\"$"
+
+  // [ts] [module:level] [pid N(:tid M)?] ([client IP] )?message
+  // (web_servers.py:54-89 split('] ', 3) recipe)
+  val ErrorRe: String =
+    "^\\[([^\\]]+)\\] \\[([^\\]]+)\\] \\[pid (\\d+)(?::tid (\\d+))?\\] (?:\\[client ([^\\]]+)\\] )?(.*)$"
+
+  // MMM [d]d HH:mm:ss host kernel: [sec.frac] message   (kern.py:13-33)
+  val KernRe: String =
+    "^([A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}) (\\S+) kernel: \\[(\\d+)\\.(\\d+)\\] (.*)$"
+
+  // exactly three space-separated tokens (test_input1.py:4-12)
+  val MiniRe: String = "^(\\S+) (\\S+) (\\S+)$"
+
+  // ---- per-format extractors: text -> named typed columns ----
+  // Guarded casts use try_* so rows that matched the cheap regex but carry
+  // garbage in a group degrade to null instead of throwing under ANSI mode.
+
+  private def g(text: Column, re: String, i: Int): Column = regexp_extract(text, re, i)
+
+  private def emptyToNull(c: Column): Column = when(c =!= "", c)
+
+  /** fortinet: strip `<pri>`, logfmt the rest, stitch date+time into epoch
+    * seconds (fortinet.rs:73-105). Returns (t epoch-sec, kv map).
+    */
+  def fortinetKv(text: Column): Column =
+    logfmt_parse_fortinet(text.substr(instr(text, ">") + 1, length(text)))
+
+  def fortinetT(text: Column, runTsMillis: Long): Column = {
+    val d = emptyToNull(g(text, "date=(\\S+)", 1))
+    val t = emptyToNull(g(text, "(?:^|\\s)time=(\\S+)", 1))
+    coalesce(
+      unix_timestamp(try_to_timestamp(concat_ws(" ", d, t), lit("yyyy-MM-dd HH:mm:ss"))),
+      lit(runTsMillis / 1000L)) // Local::now() fallback -> injected run clock
+  }
+
+  /** RFC3164 year resolution: the wire format has no year; syslog_loose
+    * resolves against the current clock — we inject the run clock's year for
+    * replay determinism (SURVEY.md §7.4.2).
+    */
+  private def rfc3164Millis(dateStr: Column, defaultYear: Column): Column =
+    unix_millis(try_to_timestamp(
+      concat_ws(" ", defaultYear, regexp_replace(dateStr, " +", " ")),
+      lit("yyyy MMM d HH:mm:ss")))
+
+  def syslogCols(text: Column, defaultYear: Column): Seq[(String, Column)] = {
+    val pri = try_cast_long(g(text, SyslogRe, 1))
+    Seq(
+      "t" -> rfc3164Millis(g(text, SyslogRe, 2), defaultYear),
+      "facility" -> shiftright(pri, 3),
+      "severity" -> (pri bitwiseAND lit(7L)),
+      "hostname" -> emptyToNull(g(text, SyslogRe, 3)),
+      "app_name" -> emptyToNull(g(text, SyslogRe, 4)),
+      "proc_id" -> try_cast_long(emptyToNull(g(text, SyslogRe, 5))),
+      "message" -> g(text, SyslogRe, 6)
+    )
+  }
+
+  def combinedCols(text: Column): Seq[(String, Column)] = {
+    val user = g(text, CombinedRe, 3)
+    val ref = g(text, CombinedRe, 10)
+    Seq(
+      "host" -> g(text, CombinedRe, 1),
+      // '-' means absent (web_servers.py:25-26,44-45)
+      "user" -> when(user =!= "-", user),
+      "t" -> unix_millis(try_to_timestamp(g(text, CombinedRe, 4), lit("dd/MMM/yyyy:HH:mm:ss Z"))),
+      "method" -> g(text, CombinedRe, 5),
+      "path" -> g(text, CombinedRe, 6),
+      "proto" -> regexp_replace(g(text, CombinedRe, 7), "^HTTP/", ""),
+      "status" -> try_cast_long(g(text, CombinedRe, 8)),
+      "size" -> try_cast_long(g(text, CombinedRe, 9)),
+      "ref" -> when(ref =!= "-", ref),
+      "user_agent" -> g(text, CombinedRe, 11)
+    )
+  }
+
+  def errorCols(text: Column): Seq[(String, Column)] = Seq(
+    // day-of-week is redundant for parsing and Spark's formatter rejects a
+    // parse-side EEE; strip it (dateutil in web_servers.py:68 ignores it too)
+    "t" -> unix_millis(try_to_timestamp(
+      regexp_replace(g(text, ErrorRe, 1), "^[A-Za-z]{3} ", ""),
+      lit("MMM dd HH:mm:ss.SSSSSS yyyy"))),
+    "level" -> g(text, ErrorRe, 2),
+    "pid" -> try_cast_long(g(text, ErrorRe, 3)),
+    "tid" -> try_cast_long(emptyToNull(g(text, ErrorRe, 4))),
+    "client" -> emptyToNull(g(text, ErrorRe, 5)),
+    "message" -> g(text, ErrorRe, 6)
+  )
+
+  def kernCols(text: Column, defaultYear: Column): Seq[(String, Column)] = Seq(
+    "t" -> rfc3164Millis(g(text, KernRe, 1), defaultYear),
+    "since_start_sec" -> try_cast_long(g(text, KernRe, 3)),
+    "since_start_ns" -> try_cast_long(g(text, KernRe, 4)),
+    "message" -> trim(g(text, KernRe, 5))
+  )
+
+  def miniCols(text: Column): Seq[(String, Column)] = Seq(
+    "method" -> g(text, MiniRe, 1),
+    "path" -> g(text, MiniRe, 2),
+    // status stays a string (test_input1.py:11 returns it unconverted)
+    "status" -> g(text, MiniRe, 3)
+  )
+
+  private def try_cast_long(c: Column): Column = c.try_cast("long")
+
+  // ---- unified parse: format tag + open-schema fields map ----
+
+  /** Map form of an extractor: stringify values, drop null-valued entries
+    * (reference events are flat JSON objects that simply omit absent keys).
+    */
+  private def toMap(cols: Seq[(String, Column)]): Column = {
+    val entries = cols.map { case (k, v) =>
+      when(v.isNotNull, map(lit(k), v.cast("string")))
+        .otherwise(map().cast("map<string,string>"))
+    }
+    if (entries.size == 1) entries.head else map_concat(entries: _*)
+  }
+
+  /** Adds `format` (dictionary entry that matched, or 'malformed') and
+    * `fields` (map<string,string> of extracted keys) to a DataFrame with a
+    * `text` column. One projection; all branches codegen'd.
+    */
+  def parse(df: DataFrame, runTsMillis: Long): DataFrame = {
+    val text = col("text")
+    val year = date_format(timestamp_millis(lit(runTsMillis)), "yyyy")
+
+    val format = when(isFortinet(text), "fortinet")
+      .when(isSyslog(text), "syslog")
+      .when(isCombined(text), "combined")
+      .when(isError(text), "error")
+      .when(isKern(text), "kern")
+      .when(isJson(text), "json")
+      .when(isMini(text), "mini")
+      .otherwise("malformed")
+
+    val fortinetMap = map_concat(
+      fortinetKv(text),
+      map(lit("t"), fortinetT(text, runTsMillis).cast("string")))
+
+    val fields = when(isFortinet(text), fortinetMap)
+      .when(isSyslog(text), toMap(syslogCols(text, year)))
+      .when(isCombined(text), toMap(combinedCols(text)))
+      .when(isError(text), toMap(errorCols(text)))
+      .when(isKern(text), toMap(kernCols(text, year)))
+      .when(isJson(text), from_json(text, FlatMapType))
+      .when(isMini(text), toMap(miniCols(text)))
+      .otherwise(map().cast("map<string,string>"))
+
+    df.withColumn("format", format).withColumn("fields", fields)
+  }
+}

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.enrich.Enrich
+import graft.functions.GraftFunctions
+import graft.model.PipelineConfig
+import graft.parse.PatternDictionary
+import graft.route.Router
+
+/** Driver-verified queries for the log-pipeline operator surface
+  * (SURVEY.md §2.2-§2.5). Each query synthesizes its input text
+  * deterministically from the `events` parquet columns (Transcripts), parses
+  * it back with the pattern dictionary, and is checked against a DuckDB
+  * oracle that computes the EXPECTED fields directly from the base columns —
+  * construction and parsing cannot share a bug.
+  */
+object PipelineQueries {
+
+  import Transcripts.RunTsMillis
+
+  private def reg(s: SparkSession): Unit = GraftFunctions.ensureRegistered(s)
+
+  private val year2024 = lit("2024")
+
+  /** Default pipeline config used by the e2e queries (output paths unused
+    * by the pure transform).
+    */
+  def e2eConfig: PipelineConfig = PipelineConfig.default("", "", RunTsMillis)
+
+  private def fmtQuery(line: Column, cols: Seq[(String, Column)])(
+      s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    Transcripts.withText(s, dir, line)
+      .select(col("event_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("event_id")
+  }
+
+  private def mapCols(kv: Column, names: Seq[String]): Seq[(String, Column)] =
+    names.map(n => n -> try_element_at(kv, lit(n)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_fortinet_parse" -> { (s, dir) =>
+      reg(s)
+      val text = col("text")
+      val kv = PatternDictionary.fortinetKv(text)
+      val cols: Seq[(String, Column)] =
+        Seq("t" -> PatternDictionary.fortinetT(text, RunTsMillis)) ++
+          mapCols(kv, Seq("devname", "subtype", "vd", "action")) ++
+          Seq(
+            "ftype" -> try_element_at(kv, lit("type")),
+            "usr" -> try_element_at(kv, lit("user")),
+            "srcport" -> try_element_at(kv, lit("srcport")).try_cast("long"),
+            "msg" -> try_element_at(kv, lit("msg")))
+      fmtQuery(Transcripts.fortinetLine, cols)(s, dir)
+    },
+    "pipe_syslog_parse" -> { (s, dir) =>
+      fmtQuery(Transcripts.syslogLine,
+        PatternDictionary.syslogCols(col("text"), year2024))(s, dir)
+    },
+    "pipe_combined_parse" -> { (s, dir) =>
+      val cols = PatternDictionary.combinedCols(col("text")).map {
+        case ("user", c) => ("usr", c)
+        case ("size", c) => ("size_b", c)
+        case other       => other
+      }
+      fmtQuery(Transcripts.combinedLine, cols)(s, dir)
+    },
+    "pipe_error_parse" -> { (s, dir) =>
+      fmtQuery(Transcripts.errorLine,
+        PatternDictionary.errorCols(col("text")))(s, dir)
+    },
+    "pipe_kern_parse" -> { (s, dir) =>
+      fmtQuery(Transcripts.kernLine,
+        PatternDictionary.kernCols(col("text"), year2024))(s, dir)
+    },
+    "pipe_json_parse" -> { (s, dir) =>
+      val kv = from_json(col("text"), PatternDictionary.FlatMapType)
+      fmtQuery(Transcripts.jsonLine, mapCols(kv, Seq("etype", "k")))(s, dir)
+    },
+    "pipe_mini_parse" -> { (s, dir) =>
+      fmtQuery(Transcripts.miniLine,
+        PatternDictionary.miniCols(col("text")))(s, dir)
+    },
+    "pipe_logfmt" -> { (s, dir) =>
+      reg(s)
+      import graft.functions.GraftFunctions.logfmt_parse
+      val line = concat(
+        lit("a="), col("event_id"), lit(" b=\""), col("event_type"),
+        lit(" x=1\" c=\"\" d"))
+      val kv = logfmt_parse(col("text"))
+      fmtQuery(line, mapCols(kv, Seq("a", "b", "c")) :+
+        ("d_is_null_value" -> (map_contains_key(kv, lit("d")) &&
+          try_element_at(kv, lit("d")).isNull)))(s, dir)
+    },
+    "pipe_insert_field" -> { (s, dir) =>
+      reg(s)
+      val base = map(lit("etype"), col("event_type"))
+      val keep = Enrich.insertMapField(base, "etype", lit("const"), overwrite = false)
+      val over = Enrich.insertMapField(base, "etype", lit("const"), overwrite = true)
+      val fresh = Enrich.insertMapField(base, "x", lit("const"), overwrite = false)
+      Transcripts.events(s, dir).select(
+        col("event_id"),
+        try_element_at(keep, lit("etype")).as("v_keep"),
+        try_element_at(over, lit("etype")).as("v_over"),
+        try_element_at(fresh, lit("x")).as("v_new")
+      ).orderBy("event_id")
+    },
+    "pipe_insert_ts" -> { (s, dir) =>
+      reg(s)
+      val base = map(lit("etype"), col("event_type"))
+      Transcripts.events(s, dir).select(
+        col("event_id"),
+        try_element_at(Enrich.insertTs(base, "t", RunTsMillis, "epoch", true), lit("t")).as("t_epoch"),
+        try_element_at(Enrich.insertTs(base, "t", RunTsMillis, "rfc3339", true), lit("t")).as("t_rfc3339"),
+        try_element_at(Enrich.insertTs(base, "t", RunTsMillis, "rfc2822", true), lit("t")).as("t_rfc2822")
+      ).orderBy("event_id")
+    },
+    "pipe_enrich" -> { (s, dir) =>
+      reg(s)
+      val t = Transcripts.transcripts(s, dir)
+      Enrich.withLookup(t, Enrich.defaultLookup(s))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("role_kind"), col("tool_category"))
+        .orderBy("turn_idx")
+    },
+    "pipe_e2e_routed" -> { (s, dir) =>
+      reg(s)
+      val t = Transcripts.transcripts(s, dir)
+      Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
+        .select(col("conv_id"), col("turn_idx"), col("sink"), col("format"),
+          try_element_at(col("fields"), lit("t")).try_cast("long").as("t"),
+          col("role_kind"), col("tool_category"))
+        .orderBy("turn_idx")
+    },
+    "pipe_e2e_counts" -> { (s, dir) =>
+      reg(s)
+      val t = Transcripts.transcripts(s, dir)
+      val routed = Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
+      Router.sinkAggregates(routed).orderBy("sink", "format")
+    }
+  )
+
+  // ---- DuckDB oracle SQL: expected outputs computed directly from the
+  // base events columns (never by re-parsing the text) ----
+
+  private val tSec = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+  private val tMs = "epoch_ms(date_trunc('second', ts))"
+  private val methodSql =
+    "CASE event_type WHEN 'click' THEN 'GET' WHEN 'view' THEN 'POST' WHEN 'error' THEN 'DELETE' ELSE 'PUT' END"
+  private val levelSql =
+    "CASE event_type WHEN 'error' THEN 'error' WHEN 'click' THEN 'notice' WHEN 'view' THEN 'info' ELSE 'warn' END"
+  private val statusSql = "(200 + (event_id % 5) * 100)"
+
+  val formatSql: String =
+    "CASE (event_id % 8) WHEN 0 THEN 'fortinet' WHEN 1 THEN 'syslog' WHEN 2 THEN 'combined' " +
+      "WHEN 3 THEN 'error' WHEN 4 THEN 'kern' WHEN 5 THEN 'json' WHEN 6 THEN 'mini' ELSE 'malformed' END"
+
+  /** sink assignment mirrored from PipelineConfig.default rules. */
+  val sinkSql: String =
+    "CASE WHEN event_id % 8 = 7 THEN 'quarantine' " +
+      "WHEN event_id % 8 = 0 AND event_id % 3 <> 0 THEN 'utm' " +
+      "WHEN event_id % 8 = 2 THEN 'access' " +
+      "WHEN event_id % 8 IN (1, 3, 4) THEN 'system' " +
+      "ELSE 'other' END"
+
+  private val e2eTSql: String =
+    s"CASE (event_id % 8) WHEN 0 THEN $tSec WHEN 1 THEN $tMs WHEN 2 THEN $tMs " +
+      s"WHEN 3 THEN epoch_ms(ts) WHEN 4 THEN $tMs ELSE NULL END"
+
+  private val roleKindSql =
+    "CASE (event_id % 4) WHEN 0 THEN 'human' WHEN 1 THEN 'model' WHEN 2 THEN 'machine' ELSE 'control' END"
+  private val toolCatSql =
+    "CASE (event_id % 5) WHEN 0 THEN 'n/a' WHEN 1 THEN 'shell' WHEN 2 THEN 'retrieval' WHEN 3 THEN 'web' ELSE 'editor' END"
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_fortinet_parse" ->
+      s"""SELECT event_id, $tSec AS t, 'FGT' || user_id AS devname, 'app-ctrl' AS subtype,
+          'root' AS vd, CASE WHEN event_id % 7 = 0 THEN 'block' ELSE 'pass' END AS action,
+          CASE WHEN event_id % 3 = 0 THEN 'event' ELSE 'utm' END AS ftype,
+          'u' || user_id AS usr, 1024 + (event_id % 60000) AS srcport,
+          event_type || ': SSL,' AS msg
+          FROM events ORDER BY event_id""",
+    "pipe_syslog_parse" ->
+      s"""SELECT event_id, $tMs AS t, (event_id % 192) // 8 AS facility,
+          (event_id % 192) % 8 AS severity, 'host' || user_id AS hostname,
+          'app' || (event_id % 7) AS app_name, event_id % 30000 AS proc_id,
+          'evt ' || event_type || ' ' || event_id AS message
+          FROM events ORDER BY event_id""",
+    "pipe_combined_parse" ->
+      s"""SELECT event_id, 'h' || (user_id % 50) AS host,
+          CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'u' || user_id END AS usr,
+          $tMs AS t, $methodSql AS method, '/p/' || event_id AS path, '1.1' AS proto,
+          $statusSql AS status, CAST(floor(abs("value") * 100) AS BIGINT) AS size_b,
+          CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'http://r/' || (event_id % 10) END AS ref,
+          'Mozilla/5.0 (test)' AS user_agent
+          FROM events ORDER BY event_id""",
+    "pipe_error_parse" ->
+      s"""SELECT event_id, epoch_ms(ts) AS t, 'core:' || $levelSql AS level,
+          event_id % 30000 AS pid,
+          CASE WHEN event_id % 2 = 0 THEN event_id % 500 ELSE NULL END AS tid,
+          CASE WHEN event_id % 3 <> 0 THEN '10.0.0.' || (user_id % 250) || ':' || (1024 + event_id % 50000) ELSE NULL END AS client,
+          'AH' || lpad(CAST(event_id % 100000 AS VARCHAR), 5, '0') || ': ' || event_type || ' happened' AS message
+          FROM events ORDER BY event_id""",
+    "pipe_kern_parse" ->
+      s"""SELECT event_id, $tMs AS t, event_id AS since_start_sec,
+          event_id % 1000000 AS since_start_ns,
+          'ACPI: ' || event_type || ' stopped' AS message
+          FROM events ORDER BY event_id""",
+    "pipe_json_parse" ->
+      """SELECT event_id, event_type AS etype, CAST(event_id AS VARCHAR) AS k
+         FROM events ORDER BY event_id""",
+    "pipe_mini_parse" ->
+      s"""SELECT event_id, $methodSql AS method, '/p/' || event_id AS path,
+          CAST($statusSql AS VARCHAR) AS status
+          FROM events ORDER BY event_id""",
+    "pipe_logfmt" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS a,
+         event_type || ' x=1' AS b, '' AS c, TRUE AS d_is_null_value
+         FROM events ORDER BY event_id""",
+    "pipe_insert_field" ->
+      """SELECT event_id, event_type AS v_keep, 'const' AS v_over, 'const' AS v_new
+         FROM events ORDER BY event_id""",
+    "pipe_insert_ts" ->
+      """SELECT event_id, '1717200000000' AS t_epoch,
+         '2024-06-01T00:00:00Z' AS t_rfc3339,
+         'Sat, 01 Jun 2024 00:00:00 +0000' AS t_rfc2822
+         FROM events ORDER BY event_id""",
+    "pipe_enrich" ->
+      s"""SELECT 'conv-' || user_id AS conv_id, CAST(event_id AS INT) AS turn_idx,
+          CASE (event_id % 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+          CASE (event_id % 5) WHEN 0 THEN 'none' WHEN 1 THEN 'bash' WHEN 2 THEN 'search' WHEN 3 THEN 'browser' ELSE 'code' END AS tool,
+          $roleKindSql AS role_kind, $toolCatSql AS tool_category
+          FROM events ORDER BY turn_idx""",
+    "pipe_e2e_routed" ->
+      s"""SELECT 'conv-' || user_id AS conv_id, CAST(event_id AS INT) AS turn_idx,
+          $sinkSql AS sink, $formatSql AS format, $e2eTSql AS t,
+          $roleKindSql AS role_kind, $toolCatSql AS tool_category
+          FROM events ORDER BY turn_idx""",
+    "pipe_e2e_counts" ->
+      s"""SELECT sink, format, count(*) AS n, count(DISTINCT conv) AS n_conv,
+          min(turn) AS min_turn, max(turn) AS max_turn
+          FROM (SELECT $sinkSql AS sink, $formatSql AS format, user_id AS conv,
+                event_id AS turn FROM events)
+          GROUP BY sink, format ORDER BY sink, format"""
+  )
+}

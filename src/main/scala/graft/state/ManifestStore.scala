@@ -1,0 +1,51 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-(sink, bucket) progress manifest — the reference's core correctness
+  * invariant ("offset committed only after durable write",
+  * log-ship/src/plugins/file.rs:129-134 + the resume test file.rs:738-813)
+  * lifted from per-row byte offsets to per-partition commits:
+  *
+  *   - data for a bucket is written with DYNAMIC partition overwrite, so a
+  *     rerun of an uncommitted bucket replaces (never duplicates) its rows;
+  *   - the manifest row for (run tag, sink, bucket) is appended strictly
+  *     AFTER the data write returns;
+  *   - a rerun anti-joins the manifest and processes only missing buckets.
+  *
+  * Backed by parquet behind a narrow seam (read snapshot / append): the
+  * production binding is an Iceberg table with the same three operations —
+  * no Iceberg runtime jar exists in this offline sandbox (SURVEY.md §7.1.7).
+  */
+final class ManifestStore(spark: SparkSession, path: String) {
+
+  private val schema = "run_id string, sink string, bucket int, rows long, wall_ms long, committed_at long"
+
+  def read(): DataFrame =
+    try spark.read.schema(schema).parquet(path)
+    catch { case _: Exception => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema)) }
+
+  /** Buckets already durably committed for a sink. The manifest is tiny
+    * (O(sinks × buckets) rows), so collecting to the driver is safe at any
+    * data scale — it never grows with row count.
+    */
+  def committedBuckets(sink: String): Set[Int] =
+    read().filter(col("sink") === sink).select("bucket")
+      .collect().map(_.getInt(0)).toSet
+
+  /** Append commit rows for the buckets just written (one action, after the
+    * sink write has returned = data durable).
+    */
+  def commit(runId: String, sink: String, bucketRows: Seq[(Int, Long)], wallMs: Long,
+      committedAt: Long): Unit = {
+    import spark.implicits._
+    bucketRows.toDF("bucket", "rows")
+      .select(lit(runId).as("run_id"), lit(sink).as("sink"), col("bucket"),
+        col("rows"), lit(wallMs).as("wall_ms"), lit(committedAt).as("committed_at"))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}
