@@ -16,7 +16,24 @@ object GraftFunctions {
     // fortinet flavor: drop valueless keys, exclude date/time (stitched
     // separately into the ts field; fortinet.rs:78-105)
     "logfmt_parse_fortinet" -> ((exprs: Seq[Expression]) =>
-      LogfmtParse(exprs.head, dropNullValues = true, excludeKeys = Seq("date", "time")))
+      LogfmtParse(exprs.head, dropNullValues = true, excludeKeys = Seq("date", "time"))),
+    "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    "fingerprint64" -> ((exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+    // k is passed as a literal int expression
+    "minhash_sig" -> ((exprs: Seq[Expression]) => MinHashSig(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64(exprs(0),
+      exprs(1).eval() match { case i: Int => i.toLong; case l: Long => l })),
+    "rp_sign" -> ((exprs: Seq[Expression]) => RpSign(exprs(0),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+      })),
+    "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+      }))
   )
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
@@ -34,4 +51,30 @@ object GraftFunctions {
   /** Fortinet flavor: valueless keys dropped, date/time excluded. */
   def logfmt_parse_fortinet(c: Column): Column =
     call_function("logfmt_parse_fortinet", c)
+
+  /** Cosine similarity of two array<float> columns (double result). */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Stable 64-bit rolling-hash fingerprint of a string column. */
+  def fingerprint64(c: Column): Column = call_function("fingerprint64", c)
+
+  /** MinHash signature (array<long> of length k) of an array<string>. */
+  def minhash_sig(c: Column, k: Int): Column =
+    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(k))
+
+  /** 64-bit SimHash of an array<string> token column (seeded). */
+  def simhash64(c: Column, seed: Long = 0L): Column =
+    call_function("simhash64", c, org.apache.spark.sql.functions.lit(seed))
+
+  /** Random-hyperplane signature (nBits packed in a long) of array<float>. */
+  def rp_sign(c: Column, nBits: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("rp_sign", c, lit(nBits), lit(seed))
+  }
+
+  /** Rademacher random projection of array<float> to outDims dims. */
+  def rp_project(c: Column, outDims: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("rp_project", c, lit(outDims), lit(seed))
+  }
 }

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MinHash signature of a shingle set: for each of `k` seeded hash
+  * functions, the minimum hash over the distinct shingles. Jaccard(A,B) is
+  * estimated by the fraction of matching signature positions; banding the
+  * signature gives LSH candidate buckets (dedup at 10^9-document scale
+  * without O(n^2) pairs).
+  *
+  * One pass over the shingle array per row, all k mins updated in place —
+  * a native expression instead of k array-transform steps.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  def sig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = Fingerprint64.hash64Seeded(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** 64-bit SimHash over a token array: each token's 64-bit hash votes +1/-1
+  * per bit position; the sign of each tally forms the fingerprint. Near-dup
+  * detection = Hamming distance on the resulting long (bit_count(a XOR b)).
+  */
+case class SimHash64(child: Expression, seed: Long = 0L) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.simhash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** Random-hyperplane (signed random projection) signature of a float
+  * vector: bit p = sign(sum_d vec[d] * u(seed,p,d)) with u a deterministic
+  * Rademacher (+1/-1) sequence derived from splitmix64 — the LSH bucketing
+  * primitive for cosine similarity search (two vectors with high cosine get
+  * equal signatures with high probability). nBits <= 64, packed in a long.
+  */
+case class RpSign(child: Expression, nBits: Int, seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"rp_sign requires array<float>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RpSign.sign(input.asInstanceOf[ArrayData], nBits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RpSign.sign($c, $nBits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RpSign =
+    copy(child = newChild)
+
+  override def prettyName: String = "rp_sign"
+}
+
+object RpSign {
+  def mixPublic(z: Long): Long = mix(z)
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def sign(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val u = if ((mix(seed * 1000003L + p * 131071L + d) & 1L) == 0L) 1.0 else -1.0
+        dot += vec.getFloat(d) * u
+        d += 1
+      }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** Rademacher random projection of a float vector to `outDims` dimensions
+  * (deterministic, seed-derived +-1 matrix, scaled 1/sqrt(outDims)) — the
+  * coarse-quantization half of the approximate nearest-neighbor path: score
+  * all candidates in the cheap projected space, exact-rerank only the top
+  * fraction. Isotropic embeddings (no cluster structure) make bucket-style
+  * LSH unrecallable; projection+rerank trades a tunable candidate depth for
+  * a ~dims/outDims flop and IO reduction instead.
+  */
+case class RpProject(child: Expression, outDims: Int, seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"rp_project requires array<float>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RpProject.project(input.asInstanceOf[ArrayData], outDims, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RpProject.project($c, $outDims, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
+
+  override def prettyName: String = "rp_project"
+}
+
+object RpProject {
+  def project(vec: ArrayData, outDims: Int, seed: Long): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Float](outDims)
+    val scale = (1.0 / math.sqrt(outDims)).toFloat
+    var p = 0
+    while (p < outDims) {
+      var acc = 0.0f
+      var d = 0
+      while (d < n) {
+        val u = if ((RpSign.mixPublic(seed * 1000003L + p * 131071L + d) & 1L) == 0L) 1.0f else -1.0f
+        acc += vec.getFloat(d) * u
+        d += 1
+      }
+      out(p) = acc * scale
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object SimHash64 {
+  def simhash(tokens: ArrayData, seed: Long): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = Fingerprint64.hash64Seeded(tokens.getUTF8String(i), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

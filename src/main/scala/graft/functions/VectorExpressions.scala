@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cosine similarity between two float vectors (array<float>), promoting to
+  * double per element — the scalar kernel of the similarity-search /
+  * near-dup operators. A native codegen'd expression (not a UDF) so the
+  * brute-force top-k scan stays inside WholeStageCodegen over 10^2..10^9
+  * candidate pairs.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float> arguments, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  /** Sequential left-to-right accumulation (deterministic across runs and
+    * partitionings; matches a naive loop oracle).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** 64-bit polynomial rolling hash of a string (h = h*31 + codepoint,
+  * wrapping) — the document fingerprinting primitive (stable across
+  * runs/engines/partitions, unlike Spark's Murmur `hash` which is
+  * seed-coupled to Spark internals).
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fingerprint64 requires a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint64.hash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint64.hash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "fingerprint64"
+}
+
+object Fingerprint64 {
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+
+  /** Seeded variant used by minhash: mixes a seed into the rolling hash. */
+  def hash64Seeded(s: UTF8String, seed: Long): Long = {
+    var h = 1125899906842597L ^ (seed * 0x9E3779B97F4A7C15L)
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xff)
+      i += 1
+    }
+    // finalizer (splitmix64) so seeds decorrelate
+    h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard-operator coverage (SURVEY.md §2.6): scans with
+  * pushdown/pruning, hash aggregation, broadcast/semi/anti joins, window
+  * functions, sort/limit, set ops, rollup, scalar functions, sessionized
+  * time aggregation. All numeric aggregate outputs are exact integers
+  * (floor-to-cents before summing) so the DuckDB comparison is never
+  * exposed to float summation order.
+  */
+object GenericQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped hash aggregate: partial+final comes from Catalyst;
+    // scan reads only 5 of 11 lineitem columns (column pruning).
+    "q_agg_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity"))).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100)).cast("long").as("sum_price_cents"),
+          sum(floor(col("l_discount") * 100)).cast("long").as("sum_disc_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // broadcast dimension chain: nation/customer broadcast, orders never
+    // shuffled until the final (small) aggregate.
+    "q_join_broadcast" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
+        .orderBy("n_name")
+    },
+    // EXISTS via left-semi: orders having a high-quantity line
+    "q_join_semi" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+    // NOT EXISTS via left-anti: customers with no orders
+    "q_join_anti" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    // window: first 3 shipments per supplier under a total tie-break order
+    "q_window_topn" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_suppkey", "rn")
+    },
+    // running per-conversation turn number over the transcripts-shaped
+    // events table (the ordering primitive of the north rule)
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("turn_no", row_number().over(w))
+        .withColumn("running_cents",
+          sum(floor(col("value") * 100)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("turn_no"), col("running_cents"))
+        .orderBy("user_id", "event_id")
+    },
+    // global sort + limit (top-k with total tie-break)
+    "q_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    },
+    // set ops: buyers of urgent orders minus buyers of low-priority orders
+    "q_setops" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val low = orders.filter(col("o_orderpriority") === "5-LOW")
+        .select("o_custkey")
+      urgent.distinct().except(low.distinct()).orderBy("o_custkey")
+    },
+    "q_intersect" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id").distinct()
+        .intersect(ev.filter(col("event_type") === "error").select("user_id").distinct())
+        .orderBy("user_id")
+    },
+    // rollup (grouping sets)
+    "q_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        // rollup nulls -> sentinel: engines disagree on null sort order
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"), col("n"))
+        .orderBy("status", "priority")
+    },
+    // scalar function surface (string/date/cast kernel used by the parse
+    // stage, SURVEY.md §2.6 "Scalar functions")
+    "q_scalar_funcs" -> { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        lower(col("p_type")).as("l"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        trim(lit("  x  ")).as("trimmed"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded")
+      ).orderBy("p_partkey")
+    },
+    // sessionized (tumbling-hour) aggregation over the event stream — the
+    // batch form of the Structured Streaming windowed count
+    "q_sessionize" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).cast("long").as("cents"))
+        .orderBy("user_id", "hour")
+    },
+    // distinct count per group (exact; the reference's lineage counters)
+    "q_count_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty,
+         CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS sum_price_cents,
+         CAST(sum(floor(l_discount * 100)) AS BIGINT) AS sum_disc_cents,
+         count(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         ORDER BY o_orderkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_window_topn" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS rn
+           FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+         CAST(row_number() OVER w AS INT) AS turn_no,
+         CAST(sum(floor("value" * 100)) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY user_id, event_id""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q_setops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+         ORDER BY o_custkey""",
+    "q_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+         coalesce(o_orderpriority, '(all)') AS priority, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS u, lower(p_type) AS l,
+         CAST(length(p_name) AS BIGINT) AS len, substring(p_name, 1, 5) AS pre,
+         replace(p_name, ' ', '_') AS snake,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         p_brand || '|' || p_type AS joined, 'x' AS trimmed,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded
+         FROM part ORDER BY p_partkey""",
+    "q_sessionize" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+         CAST(sum(floor("value" * 100)) AS BIGINT) AS cents
+         FROM events GROUP BY user_id, date_trunc('hour', ts)
+         ORDER BY user_id, hour""",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Fingerprint64, GraftFunctions, SimHash64}
+
+/** Pins the sketch kernels (fingerprint, minhash, simhash, rp-sign) and the
+  * approximate operators built on them (ann_lsh recall vs brute force).
+  */
+class SketchSpec extends SparkSpec {
+
+  test("fingerprint64 is stable and order-sensitive") {
+    def fp(s: String) = Fingerprint64.hash64(UTF8String.fromString(s))
+    assert(fp("abc") === fp("abc"))
+    assert(fp("abc") !== fp("acb"))
+    assert(fp("") === 1125899906842597L)
+  }
+
+  test("simhash: identical token sets get identical hashes; disjoint differ") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(ts: String*) = new GenericArrayData(
+      ts.map(t => UTF8String.fromString(t)).toArray[Any])
+    val a = SimHash64.simhash(arr("x", "y", "z"), 0L)
+    val b = SimHash64.simhash(arr("x", "y", "z"), 0L)
+    val c = SimHash64.simhash(arr("q", "r", "s", "t", "u", "v"), 0L)
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("minhash signature positions estimate jaccard") {
+    GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.minhash_sig
+    // two sets with J = 50/150 ~ 0.333
+    val df = spark.range(1).select(
+      minhash_sig(transform(sequence(lit(1), lit(100)),
+        i => concat(lit("s"), i)), 128).as("sa"),
+      minhash_sig(transform(sequence(lit(51), lit(150)),
+        i => concat(lit("s"), i)), 128).as("sb"))
+    val row = df.select(
+      size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+        x => x)).as("m")).head()
+    val est = row.getInt(0) / 128.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est too far from 1/3")
+  }
+
+  test("ann_rp_rerank achieves high recall@5 vs ann_brute") {
+    val brute = graft.ops.TrainingOps.queries("ann_brute")(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = graft.ops.TrainingOps.queries("ann_rp_rerank")(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@5 $recall below 0.8 (|brute|=${brute.size})")
+  }
+
+  test("text_fingerprint golden values are stable across runs") {
+    val a = graft.ops.TrainingOps.queries("text_fingerprint")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = graft.ops.TrainingOps.queries("text_fingerprint")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+}
