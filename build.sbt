@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: the parse stage allocates heavily (maps/strings);
+  // ParallelGC beats G1 for short-lived garbage at local[32]
+  "-XX:+UseParallelGC",
 )

@@ -17,11 +17,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ graft.ops.GenericQueries.queries ++
-      graft.ops.TrainingOps.queries
+      graft.ops.TrainingOps.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     PipelineQueries.oracleSql ++ graft.ops.GenericQueries.oracleSql ++
-      graft.ops.TrainingOps.oracleSql
+      graft.ops.TrainingOps.oracleSql ++ graft.ops.Multimodal.oracleSql
 }

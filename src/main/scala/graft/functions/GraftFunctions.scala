@@ -29,6 +29,8 @@ object GraftFunctions {
         case i: Int => i.toLong
         case l: Long => l
       })),
+    "regexp_groups" -> ((exprs: Seq[Expression]) => RegexpGroups(exprs(0),
+      exprs(1).eval().toString)),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -71,6 +73,10 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("rp_sign", c, lit(nBits), lit(seed))
   }
+
+  /** One-shot regex match returning all capture groups (null = no match). */
+  def regexp_groups(c: Column, pattern: String): Column =
+    call_function("regexp_groups", c, org.apache.spark.sql.functions.lit(pattern))
 
   /** Rademacher random projection of array<float> to outDims dims. */
   def rp_project(c: Column, outDims: Int, seed: Long): Column = {

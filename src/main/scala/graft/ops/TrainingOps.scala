@@ -143,9 +143,17 @@ object TrainingOps {
       val sh = sh0.join(hot, Seq("s"), "left_anti")
       val a = sh.select(col("doc_id").as("ia"), col("s"))
       val b = sh.select(col("doc_id").as("ib"), col("s"))
-      val candidates = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      verifiedPairs(sh, counts, candidates, 9, 10)
+      // ONE pass: the inverted-index self-join directly yields per-pair
+      // intersection counts (no candidate materialization + re-join)
+      val common = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("common"))
+      common
+        .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
+        .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
+        .withColumn("n_union", col("ca") + col("cb") - col("common"))
+        .filter(col("common") * 10 >= col("n_union") * 9)
+        .select(col("ia"), col("ib"), col("common"), col("n_union"))
+        .orderBy("ia", "ib")
     },
     "dedup_minhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -161,8 +169,17 @@ object TrainingOps {
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+      // cheap signature prefilter before the exact-Jaccard join: estimated
+      // J = matching positions / k must clear 0.75 (4 sigma below the 0.9
+      // verify bar at k=64) — slashes the verify join's input
+      val prefiltered = candidates
+        .join(sig.select(col("doc_id").as("ia"), col("sig").as("sa")), "ia")
+        .join(sig.select(col("doc_id").as("ib"), col("sig").as("sb")), "ib")
+        .filter(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+          m => m)) * 100 >= MinHashK * 75)
+        .select("ia", "ib")
       val (sh, counts) = shingleIndex(docs(s, dir))
-      verifiedPairs(sh, counts, candidates, 9, 10)
+      verifiedPairs(sh, counts, prefiltered, 9, 10)
     },
     "dedup_simhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -183,8 +200,19 @@ object TrainingOps {
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+      // hamming prefilter (bit_count of XOR over both sigs <= 24) before
+      // the exact-Jaccard join: 8-bit bands collide often on unrelated
+      // docs, and without this the verify join dominates the query
+      val prefiltered = candidates
+        .join(sig.select(col("doc_id").as("ia"),
+          col("sig0").as("xa0"), col("sig1").as("xa1")), "ia")
+        .join(sig.select(col("doc_id").as("ib"),
+          col("sig0").as("xb0"), col("sig1").as("xb1")), "ib")
+        .filter(bit_count(col("xa0").bitwiseXOR(col("xb0"))) +
+          bit_count(col("xa1").bitwiseXOR(col("xb1"))) <= 24)
+        .select("ia", "ib")
       val (sh, counts) = shingleIndex(docs(s, dir))
-      verifiedPairs(sh, counts, candidates, 9, 10)
+      verifiedPairs(sh, counts, prefiltered, 9, 10)
     },
     "dedup_embed" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)

@@ -3,7 +3,7 @@ package graft.parse
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
-import graft.functions.GraftFunctions.{logfmt_parse, logfmt_parse_fortinet}
+import graft.functions.GraftFunctions.{logfmt_parse, logfmt_parse_fortinet, regexp_groups}
 
 /** The compiled pattern dictionary — the Spark-native replacement for the
   * reference's per-row Python transform (log-ship/src/plugins/python.rs) and
@@ -37,22 +37,37 @@ object PatternDictionary {
   val Formats: Seq[String] =
     Seq("fortinet", "syslog", "combined", "error", "kern", "json", "mini")
 
-  // ---- detection predicates (cheap, run before extraction) ----
+  // ---- detection predicates ----
+  // Detection and extraction share ONE regex execution per format: the
+  // RegexpGroups expression returns all capture groups in a single match
+  // (null = no match), and codegen CSE dedups the identical subtree between
+  // the `format` tag and the field extraction.
 
-  def isFortinet(text: Column): Column = text.rlike("^<\\d+>date=")
+  // Each regex is additionally GATED behind a cheap prefix/contains test
+  // implied by the pattern itself (e.g. fortinet/syslog lines must start
+  // with '<'): at 10^12 turns the per-row detection cost is dominated by
+  // regex executions on NON-matching formats, and the gates let a row skip
+  // most of the dictionary in a few byte comparisons.
 
-  def isSyslog(text: Column): Column = text.rlike(SyslogRe)
+  def isFortinet(text: Column): Column =
+    text.startsWith("<") && text.rlike("^<\\d+>date=")
 
-  def isCombined(text: Column): Column = text.rlike(CombinedRe)
+  def isSyslog(text: Column): Column =
+    text.startsWith("<") && regexp_groups(text, SyslogRe).isNotNull
 
-  def isError(text: Column): Column = text.rlike(ErrorRe)
+  def isCombined(text: Column): Column =
+    text.contains("] \"") && regexp_groups(text, CombinedRe).isNotNull
 
-  def isKern(text: Column): Column = text.rlike(KernRe)
+  def isError(text: Column): Column =
+    text.startsWith("[") && regexp_groups(text, ErrorRe).isNotNull
+
+  def isKern(text: Column): Column =
+    text.contains(" kernel: [") && regexp_groups(text, KernRe).isNotNull
 
   def isJson(text: Column): Column =
     text.startsWith("{") && from_json(text, FlatMapType).isNotNull
 
-  def isMini(text: Column): Column = text.rlike(MiniRe)
+  def isMini(text: Column): Column = regexp_groups(text, MiniRe).isNotNull
 
   // ---- regexes (shared by detect + extract) ----
 
@@ -80,8 +95,12 @@ object PatternDictionary {
   // ---- per-format extractors: text -> named typed columns ----
   // Guarded casts use try_* so rows that matched the cheap regex but carry
   // garbage in a group degrade to null instead of throwing under ANSI mode.
+  // g(gs, i) is 1-based like regexp_extract; unparticipating optional
+  // groups are null (Java regex), not "" (a fidelity improvement over
+  // regexp_extract, matching Python's m.group(i) in the reference scripts).
 
-  private def g(text: Column, re: String, i: Int): Column = regexp_extract(text, re, i)
+  private def g(text: Column, re: String, i: Int): Column =
+    get(regexp_groups(text, re), lit(i - 1))
 
   private def emptyToNull(c: Column): Column = when(c =!= "", c)
 

@@ -41,6 +41,7 @@ object Pipeline {
 
   /** Pure transform part (no IO): parse + enrich + route tag. */
   def transform(input: DataFrame, cfg: PipelineConfig, lookup: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(input.sparkSession)
     val parsed = PatternDictionary.parse(input, cfg.runTsMillis)
     val enriched = Enrich.withLookup(parsed, lookup)
     Router.route(enriched, cfg)
@@ -93,13 +94,33 @@ object Pipeline {
       SinkReport(sink, bucketRows.map(_._2).sum, bucketRows.size, wallMs, done.size)
     }
 
-    // per-sink delivery aggregates (the reference's counters) to a table
+    // per-sink delivery aggregates (the reference's counters) to a table,
+    // with an Observation riding the same action for plan-level totals
+    val obs = org.apache.spark.sql.Observation(s"agg-${cfg.runId}")
     Router.sinkAggregates(routed)
+      .observe(obs, sum(col("n")).as("rows_total"),
+        sum(when(col("format") === "malformed", col("n")).otherwise(0L)).as("rows_malformed"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"${cfg.outputRoot}/_aggregates")
+    val observed = obs.get
 
     routed.unpersist()
     val wallMs = (System.nanoTime() - t0) / 1000000
+
+    // per-sink throughput/lineage metrics table — the Spark form of the
+    // reference's rate logs (speed.rs:54-60, unix_socket.rs:82-85)
+    {
+      import spark.implicits._
+      reports.map(r => (cfg.runId, r.sink, r.rows, r.buckets, r.skippedBuckets,
+          r.wallMs, if (r.wallMs == 0) 0.0 else r.rows * 1000.0 / r.wallMs,
+          observed.getOrElse("rows_total", 0L).asInstanceOf[Long],
+          observed.getOrElse("rows_malformed", 0L).asInstanceOf[Long]))
+        .toDF("run_id", "sink", "rows", "buckets", "skipped_buckets",
+          "wall_ms", "rows_per_sec", "observed_total", "observed_malformed")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"${cfg.outputRoot}/_metrics")
+    }
+
     RunReport(reports.map(_.rows).sum, reports, wallMs)
   }
 }

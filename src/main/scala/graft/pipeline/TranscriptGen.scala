@@ -25,7 +25,10 @@ object TranscriptGen {
     val id = col("id")
     val conv = when(id < heavyTotal, id.divide(HeavyTurns).cast("long"))
       .otherwise(lit(nHeavy) + ((id - heavyTotal).divide(NormalTurns)).cast("long"))
-    spark.range(n).select(
+    // 4 splits per core: fine-grained tasks even out stragglers without
+    // measurable scheduling overhead (each task is still >= 10^4 rows)
+    val slices = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, n, 1, slices).select(
       id.as("event_id"),
       // 2024-01-01T00:00:00Z + one second per turn, wraps within the year
       timestamp_seconds(lit(1704067200L) + pmod(id, lit(20000000L))).as("ts"),

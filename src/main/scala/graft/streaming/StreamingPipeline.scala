@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.enrich.Enrich
+import graft.functions.GraftFunctions
+import graft.model.PipelineConfig
+import graft.pipeline.Pipeline
+
+/** Structured Streaming deployment of the SAME parse → enrich → route plan
+  * (Pipeline.transform is a pure streaming-safe transformation) — the
+  * continuous analogue of the reference's `tail -F` file input
+  * (log-ship/src/plugins/file.rs): the file source discovers new files, the
+  * checkpointLocation plays the role of the reference's state files
+  * (offset committed after durable write, SURVEY.md §2.5 R5), and
+  * watermarked windowed counts generalize the per-interval delivery-rate
+  * logs (speed.rs:54-60).
+  */
+object StreamingPipeline {
+
+  val TranscriptSchema: StructType = StructType.fromDDL(
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+
+  /** Open the transcripts dir as a file-source stream and apply the batch
+    * pipeline's transform unchanged.
+    */
+  def routedStream(spark: SparkSession, inputDir: String, cfg: PipelineConfig): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val stream = spark.readStream
+      .schema(TranscriptSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(inputDir)
+    Pipeline.transform(stream, cfg, Enrich.defaultLookup(spark))
+  }
+
+  /** Watermarked tumbling-window per-sink delivery counts (event time =
+    * turn ts). Late data beyond 30 minutes is dropped and the window state
+    * is bounded — the streaming form of the per-sink counters.
+    */
+  def windowedSinkCounts(routed: DataFrame): DataFrame =
+    routed
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("sink"), col("n"))
+
+  final case class ConvState(turns: Long, maxTurn: Int)
+  final case class ConvProgress(conv_id: String, turns: Long, max_turn: Int)
+
+  /** Custom per-conversation state across micro-batches
+    * (mapGroupsWithState): running turn count + high-water turn index —
+    * the kind of cross-batch bookkeeping the reference keeps per file
+    * (byte offset) lifted to per-conversation granularity.
+    */
+  def conversationProgress(routed: DataFrame): Dataset[ConvProgress] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    routed.select(col("conv_id"), col("turn_idx")).as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvState, ConvProgress](GroupStateTimeout.NoTimeout) {
+        case (conv, rows, state: GroupState[ConvState]) =>
+          val prev = state.getOption.getOrElse(ConvState(0L, -1))
+          var turns = prev.turns
+          var maxTurn = prev.maxTurn
+          rows.foreach { case (_, idx) =>
+            turns += 1
+            if (idx > maxTurn) maxTurn = idx
+          }
+          state.update(ConvState(turns, maxTurn))
+          ConvProgress(conv, turns, maxTurn)
+      }
+  }
+
+  /** Run the windowed-count stream to completion over the files currently
+    * in inputDir (synchronous local smoke path; a production deployment
+    * would use a continuous trigger + checkpointLocation).
+    */
+  def runWindowedOnce(spark: SparkSession, inputDir: String, cfg: PipelineConfig,
+      queryName: String): DataFrame = {
+    val q = windowedSinkCounts(routedStream(spark, inputDir, cfg))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
