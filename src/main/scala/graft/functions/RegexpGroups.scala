@@ -33,16 +33,30 @@ case class RegexpGroups(child: Expression, pattern: String) extends UnaryExpress
 
   @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
 
+  // Matcher is reused per thread (reset per row): at 10^12 rows the
+  // per-row Matcher allocation is measurable GC pressure
+  @transient private lazy val localMatcher: ThreadLocal[java.util.regex.Matcher] =
+    ThreadLocal.withInitial(() => compiled.matcher(""))
+
   def matchGroups(input: UTF8String): GenericArrayData = {
-    val m = compiled.matcher(input.toString)
+    val m = localMatcher.get()
+    val ascii = input.numBytes() == input.numChars()
+    // ASCII fast path: match directly over the UTF8String bytes (a
+    // zero-copy CharSequence view) and slice groups as zero-copy
+    // UTF8String substrings — no String materialization per row. Log
+    // lines are overwhelmingly ASCII; char index == byte index there.
+    m.reset(if (ascii) new RegexpGroups.Utf8AsciiSeq(input) else input.toString)
     if (!m.find(0)) null
     else {
       val n = m.groupCount()
       val out = new Array[Any](n)
       var i = 1
       while (i <= n) {
-        val g = m.group(i)
-        out(i - 1) = if (g == null) null else UTF8String.fromString(g)
+        val s = m.start(i)
+        out(i - 1) =
+          if (s < 0) null
+          else if (ascii) input.substringSQL(s + 1, m.end(i) - s)
+          else UTF8String.fromString(m.group(i))
         i += 1
       }
       new GenericArrayData(out)
@@ -68,4 +82,15 @@ case class RegexpGroups(child: Expression, pattern: String) extends UnaryExpress
     copy(child = newChild)
 
   override def prettyName: String = "regexp_groups"
+}
+
+object RegexpGroups {
+  /** Zero-copy CharSequence over an all-ASCII UTF8String's bytes. */
+  final class Utf8AsciiSeq(s: UTF8String) extends CharSequence {
+    override def length(): Int = s.numBytes()
+    override def charAt(i: Int): Char = (s.getByte(i) & 0xff).toChar
+    override def subSequence(a: Int, b: Int): CharSequence =
+      new Utf8AsciiSeq(s.substringSQL(a + 1, b - a))
+    override def toString: String = s.toString
+  }
 }

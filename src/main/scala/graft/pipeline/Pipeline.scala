@@ -55,56 +55,73 @@ object Pipeline {
 
     val input = spark.read.parquet(cfg.inputPath)
     val routed = transform(input, cfg, Enrich.defaultLookup(spark))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val manifest = new ManifestStore(spark, s"${cfg.outputRoot}/_manifest")
     val allSinks = cfg.sinks.map(_.name) ++ Seq(cfg.defaultSink, cfg.quarantineSink)
+    import spark.implicits._
 
+    // resume filter: drop (sink, bucket) pairs already committed — a
+    // broadcast anti-join against the (tiny) manifest, never a collect of
+    // data rows (SURVEY.md §2.5 R5 lifted to partition granularity)
+    val committed = manifest.committedPairs()
+    val todo =
+      if (committed.isEmpty) routed
+      else routed.join(broadcast(committed.toSeq.toDF("sink", "bucket")),
+        Seq("sink", "bucket"), "left_anti")
+
+    // ONE write job for every sink, and the ONLY pass that runs the parse
+    // stage: fan-out is directory layout (data/sink=X/bucket=Y), not one
+    // serialized Spark job per sink. Lineage counts and delivery
+    // aggregates are derived afterwards from the WRITTEN parquet (columnar
+    // scan of 3 small columns), so rows are parsed exactly once — the
+    // per-sink-loop + persist version paid a cache materialization plus a
+    // second full pass and scaled at half the rate.
+    val s0 = System.nanoTime()
+    todo
+      // leading (sink, bucket) satisfies the planned write's required
+      // ordering (partitionBy sorts by partition cols, NON-stably —
+      // without it the writer's own sort would scramble row order)
+      .repartition(cfg.shufflePartitions, col("sink"), col("bucket"),
+        pmod(col("turn_idx"), lit(4)))
+      .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("ts"), col("format"), col("fields"), col("role_kind"),
+        col("tool_category"), col("sink"), col("bucket"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sink", "bucket")
+      .mode(SaveMode.Overwrite)
+      .parquet(s"${cfg.outputRoot}/data")
+    val writeWallMs = (System.nanoTime() - s0) / 1000000
+
+    val written = spark.read.parquet(s"${cfg.outputRoot}/data")
+
+    // per-(sink,bucket) lineage from the durable data (tiny result)
+    val allPairs = written.groupBy("sink", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val bucketRows = allPairs.filterNot(p => committed.contains((p._1, p._2)))
+
+    // manifest commit strictly after the data write returned (durable)
+    if (bucketRows.nonEmpty)
+      manifest.commit(cfg.runId, bucketRows, writeWallMs, cfg.runTsMillis)
+
+    val skippedBySink = committed.groupBy(_._1).view.mapValues(_.size).toMap
     val reports = allSinks.map { sink =>
-      val s0 = System.nanoTime()
-      val done = manifest.committedBuckets(sink)
-      val sinkDf = routed.filter(col("sink") === sink)
-      val todo =
-        if (done.isEmpty) sinkDf
-        else sinkDf.filter(!col("bucket").isin(done.toSeq: _*))
-
-      // per-bucket lineage counts (tiny result: <= saltBuckets rows)
-      val bucketRows = todo.groupBy("bucket").count()
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-
-      if (bucketRows.nonEmpty) {
-        todo
-          // leading `bucket` satisfies the planned write's required
-          // ordering (partitionBy sorts by partition cols, NON-stably —
-          // without it the writer's own sort would scramble row order)
-          .repartition(cfg.shufflePartitions, col("bucket"), pmod(col("turn_idx"), lit(4)))
-          .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-          .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-            col("ts"), col("format"), col("fields"), col("role_kind"),
-            col("tool_category"), col("bucket"))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .mode(SaveMode.Overwrite)
-          .parquet(s"${cfg.outputRoot}/sink=$sink")
-      }
-      val wallMs = (System.nanoTime() - s0) / 1000000
-      if (bucketRows.nonEmpty)
-        manifest.commit(cfg.runId, sink, bucketRows, wallMs, cfg.runTsMillis)
-      SinkReport(sink, bucketRows.map(_._2).sum, bucketRows.size, wallMs, done.size)
+      val mine = bucketRows.filter(_._1 == sink)
+      SinkReport(sink, mine.map(_._3).sum, mine.size, writeWallMs,
+        skippedBySink.getOrElse(sink, 0))
     }
 
-    // per-sink delivery aggregates (the reference's counters) to a table,
-    // with an Observation riding the same action for plan-level totals
+    // per-sink delivery aggregates (the reference's counters) over the
+    // full durable table, with an Observation riding the same action
     val obs = org.apache.spark.sql.Observation(s"agg-${cfg.runId}")
-    Router.sinkAggregates(routed)
+    Router.sinkAggregates(written)
       .observe(obs, sum(col("n")).as("rows_total"),
         sum(when(col("format") === "malformed", col("n")).otherwise(0L)).as("rows_malformed"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"${cfg.outputRoot}/_aggregates")
     val observed = obs.get
 
-    routed.unpersist()
     val wallMs = (System.nanoTime() - t0) / 1000000
 
     // per-sink throughput/lineage metrics table — the Spark form of the

@@ -33,19 +33,32 @@ final class ManifestStore(spark: SparkSession, path: String) {
     * data scale — it never grows with row count.
     */
   def committedBuckets(sink: String): Set[Int] =
-    read().filter(col("sink") === sink).select("bucket")
-      .collect().map(_.getInt(0)).toSet
+    committedPairs().collect { case (s, b) if s == sink => b }
 
-  /** Append commit rows for the buckets just written (one action, after the
-    * sink write has returned = data durable).
+  /** All committed (sink, bucket) pairs. */
+  def committedPairs(): Set[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else read().select("sink", "bucket")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+  }
+
+  /** Append commit rows for the (sink, bucket) pairs just written (one
+    * action, strictly after the sink write has returned = data durable).
     */
-  def commit(runId: String, sink: String, bucketRows: Seq[(Int, Long)], wallMs: Long,
+  def commit(runId: String, pairs: Seq[(String, Int, Long)], wallMs: Long,
       committedAt: Long): Unit = {
     import spark.implicits._
-    bucketRows.toDF("bucket", "rows")
-      .select(lit(runId).as("run_id"), lit(sink).as("sink"), col("bucket"),
+    pairs.toDF("sink", "bucket", "rows")
+      .select(lit(runId).as("run_id"), col("sink"), col("bucket"),
         col("rows"), lit(wallMs).as("wall_ms"), lit(committedAt).as("committed_at"))
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(path)
   }
+
+  /** Single-sink convenience (tests). */
+  def commit(runId: String, sink: String, bucketRows: Seq[(Int, Long)], wallMs: Long,
+      committedAt: Long): Unit =
+    commit(runId, bucketRows.map { case (b, n) => (sink, b, n) }, wallMs, committedAt)
 }

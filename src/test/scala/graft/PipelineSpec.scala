@@ -58,7 +58,7 @@ class PipelineSpec extends SparkSpec {
     val cfg = PipelineConfig.default(in, out, Transcripts.RunTsMillis)
     Pipeline.run(spark, cfg)
 
-    val rows = spark.read.parquet(s"$out/sink=system")
+    val rows = spark.read.parquet(s"$out/data/sink=system")
       .select(input_file_name().as("f"), col("conv_id"), col("turn_idx"))
       .collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
@@ -80,7 +80,7 @@ class PipelineSpec extends SparkSpec {
     assert(second.totalRows === 0L)
     second.sinks.foreach(s => assert(s.skippedBuckets > 0, s"sink ${s.sink}"))
     val onDisk = first.sinks.map(s =>
-      spark.read.parquet(s"$out/sink=${s.sink}").count()).sum
+      spark.read.parquet(s"$out/data/sink=${s.sink}").count()).sum
     assert(onDisk === N)
   }
 
