@@ -34,7 +34,8 @@ object Bench {
     * parallelism levels) — the authoritative metric is over a table scan,
     * and generation-in-the-loop was the noisiest part of the measurement.
     */
-  private def pipelineTput(spark: SparkSession, inputPath: String, n: Long): Double = {
+  private def pipelineTput(spark: SparkSession, inputPath: String, n: Long,
+      nTrials: Int = 4): Double = {
     val cfg = PipelineQueries.e2eConfig
     val routed = Pipeline.transform(spark.read.parquet(inputPath), cfg,
       Enrich.defaultLookup(spark))
@@ -43,11 +44,11 @@ object Bench {
       routed.write.format("noop").mode("overwrite").save()
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    force(); force() // warm (codegen + tiered JIT need multiple passes)
-    val trials = Seq(force(), force(), force())
+    force(); force(); force() // warm (codegen + tiered JIT need multiple passes)
+    val trials = (1 to nTrials).map(_ => force())
     System.err.println(s"[bench] tput trials @${spark.sparkContext.master}: " +
       trials.map(_.round).mkString(", "))
-    trials.max // best of 3: damp GC/JIT noise
+    trials.max // best-of: damps GC/JIT/noisy-neighbor interference
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,7 +84,7 @@ object Bench {
       val s = session(c)
       if (!new java.io.File(scalePath).exists())
         TranscriptGen.transcripts(s, scaleTurns).write.parquet(scalePath)
-      val t = pipelineTput(s, scalePath, scaleTurns)
+      val t = pipelineTput(s, scalePath, scaleTurns, nTrials = 6)
       s.stop(); t
     }
     val tput8 = tputAt(8)

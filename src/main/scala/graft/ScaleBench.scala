@@ -151,5 +151,7 @@ object ScaleBench {
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     println(md)
+    // tmpfs is RAM: don't leak gigabytes across rounds
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }

@@ -117,6 +117,26 @@ object PipelineQueries {
         try_element_at(Enrich.insertTs(base, "t", RunTsMillis, "rfc2822", true), lit("t")).as("t_rfc2822")
       ).orderBy("event_id")
     },
+    // sonicwall enrich-in-place (T10, sonicwall.py:5-28): logfmt-split an
+    // ALREADY-PARSED field and merge the pairs back into the event
+    "pipe_sonicwall" -> { (s, dir) =>
+      reg(s)
+      import graft.functions.GraftFunctions.logfmt_parse
+      val msg = concat(lit("sess="), col("event_id"),
+        lit(" act=\""), col("event_type"), lit(" ok\" src=10.0.0."),
+        pmod(col("user_id"), lit(250)))
+      val base = map_concat(map(lit("message"), msg),
+        map(lit("host"), concat(lit("h"), col("user_id"))))
+      val enriched = map_concat(base,
+        logfmt_parse(try_element_at(base, lit("message"))))
+      Transcripts.events(s, dir).select(
+        col("event_id"),
+        try_element_at(enriched, lit("host")).as("host"),
+        try_element_at(enriched, lit("sess")).as("sess"),
+        try_element_at(enriched, lit("act")).as("act"),
+        try_element_at(enriched, lit("src")).as("src")
+      ).orderBy("event_id")
+    },
     "pipe_enrich" -> { (s, dir) =>
       reg(s)
       val t = Transcripts.transcripts(s, dir)
@@ -226,6 +246,10 @@ object PipelineQueries {
       """SELECT event_id, '1717200000000' AS t_epoch,
          '2024-06-01T00:00:00Z' AS t_rfc3339,
          'Sat, 01 Jun 2024 00:00:00 +0000' AS t_rfc2822
+         FROM events ORDER BY event_id""",
+    "pipe_sonicwall" ->
+      """SELECT event_id, 'h' || user_id AS host, CAST(event_id AS VARCHAR) AS sess,
+         event_type || ' ok' AS act, '10.0.0.' || (user_id % 250) AS src
          FROM events ORDER BY event_id""",
     "pipe_enrich" ->
       s"""SELECT 'conv-' || user_id AS conv_id, CAST(event_id AS INT) AS turn_idx,
