@@ -46,6 +46,29 @@ object Enrich {
     insertMapField(fields, key, v, overwrite)
   }
 
+  /** The full logfmt TRANSFORM semantics (logfmt.rs:75-95): pop string
+    * field `field` from the event map, logfmt-parse it, and merge the pairs
+    * back in; on key collision with overwrite=false the incoming key is
+    * renamed `"<field>.<key>"` (logfmt.rs:86-90). A non-string/absent field
+    * leaves the event unchanged.
+    */
+  def logfmtMergeField(fields: Column, field: String, overwrite: Boolean): Column = {
+    import graft.functions.GraftFunctions.logfmt_parse
+    val parsed = logfmt_parse(try_element_at(fields, lit(field)))
+    val without = map_filter(fields, (k, _) => k =!= field) // pop (logfmt.rs:75)
+    val merged =
+      if (overwrite)
+        // incoming pair wins on collision
+        map_concat(map_filter(without, (k, _) => !map_contains_key(parsed, k)), parsed)
+      else {
+        val renamed = transform_keys(parsed, (k, _) =>
+          when(map_contains_key(without, k), concat(lit(field), lit("."), k))
+            .otherwise(k))
+        map_concat(without, renamed)
+      }
+    when(parsed.isNotNull, merged).otherwise(fields)
+  }
+
   /** The default role/tool metadata lookup (FIXTURES.md §3). Tiny: always a
     * broadcast-hash join, no shuffle of the fact side.
     */
