@@ -78,7 +78,7 @@ object Bench {
     // memory system, so beyond ~8-16 local threads per-core throughput is
     // capped by allocation bandwidth, not the engine (see BENCH/BASELINE.md)
     // quarter-size input for the scaling pair keeps the 2-core runs short
-    val scaleTurns = math.max(500000L, benchTurns / 4)
+    val scaleTurns = math.max(500000L, benchTurns / 8)
     val scalePath = inputPath + "_scale"
     def tputAt(c: Int): Double = {
       val s = session(c)

@@ -137,6 +137,18 @@ object GenericQueries {
           sum(floor(col("value") * 100)).cast("long").as("cents"))
         .orderBy("user_id", "hour")
     },
+    // gap-based sessionization via the native session_window (the
+    // streaming-native operator, run in batch): a session closes when the
+    // next event is >= 12h after the previous one
+    "q_session_gap" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100)).cast("long").as("cents"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("n"), col("cents"))
+        .orderBy("user_id", "s_start")
+    },
     // distinct count per group (exact; the reference's lineage counters)
     "q_count_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -212,6 +224,19 @@ object GenericQueries {
          CAST(sum(floor("value" * 100)) AS BIGINT) AS cents
          FROM events GROUP BY user_id, date_trunc('hour', ts)
          ORDER BY user_id, hour""",
+    "q_session_gap" ->
+      """WITH e AS (
+           SELECT user_id, ts, "value",
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR THEN 1
+                  ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+         SELECT user_id, min(ts) AS s_start, count(*) AS n,
+           CAST(sum(floor("value" * 100)) AS BIGINT) AS cents
+         FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_suppkey) AS n_supp
