@@ -58,9 +58,14 @@ object TrainingOps {
   private def stopHits(text: Column): Column =
     size(filter(tokens(text), t => t.isInCollection(Stopwords)))
 
-  /** doc_id-keyed distinct-shingle frame + per-doc shingle counts. */
+  /** doc_id-keyed distinct-shingle frame + per-doc shingle counts. The
+    * shingle frame is persisted: every dedup query references it 3-4 times
+    * (both join sides + counts) and recomputing tokenize+shingle per
+    * reference dominated the query (28s -> ~13s at sf0.1).
+    */
   private def shingleIndex(d: DataFrame): (DataFrame, DataFrame) = {
     val sh = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     (sh, counts)
   }
