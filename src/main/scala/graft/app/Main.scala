@@ -35,7 +35,7 @@ object Main {
         opt("run-ts").map(_.toLong).getOrElse(Transcripts.RunTsMillis))
       .copy(
         saltBuckets = opt("salt-buckets").map(_.toInt).getOrElse(32),
-        shufflePartitions = opt("shuffle-partitions").map(_.toInt).getOrElse(32),
+        shufflePartitions = opt("shuffle-partitions").map(_.toInt).getOrElse(0),
         runId = opt("run-id").getOrElse("run-0"))
 
     cfg.validate() match {

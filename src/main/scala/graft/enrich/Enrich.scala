@@ -49,22 +49,33 @@ object Enrich {
   /** The full logfmt TRANSFORM semantics (logfmt.rs:75-95): pop string
     * field `field` from the event map, logfmt-parse it, and merge the pairs
     * back in; on key collision with overwrite=false the incoming key is
-    * renamed `"<field>.<key>"` (logfmt.rs:86-90). A non-string/absent field
-    * leaves the event unchanged.
+    * renamed `"<field>.<key>"` (logfmt.rs:86-90), and a renamed key that
+    * collides with a pre-existing `"<field>.<key>"` entry overwrites it
+    * (serde_json insert). A non-string/absent field leaves the event
+    * unchanged.
+    *
+    * Known deviation: duplicate keys INSIDE the field value are deduped
+    * last-wins by the map-typed parse before merging, whereas the
+    * reference's sequential insert loop keeps the FIRST occurrence under
+    * the original key and renames later duplicates — preserving that would
+    * require an ordered pair list, and no shipped reference config feeds
+    * duplicate-keyed logfmt through this transform.
     */
   def logfmtMergeField(fields: Column, field: String, overwrite: Boolean): Column = {
-    import graft.functions.GraftFunctions.logfmt_parse
+    import graft.functions.GraftFunctions.{logfmt_parse, merge_maps}
     val parsed = logfmt_parse(try_element_at(fields, lit(field)))
     val without = map_filter(fields, (k, _) => k =!= field) // pop (logfmt.rs:75)
     val merged =
       if (overwrite)
         // incoming pair wins on collision
-        map_concat(map_filter(without, (k, _) => !map_contains_key(parsed, k)), parsed)
+        merge_maps(without, parsed)
       else {
         val renamed = transform_keys(parsed, (k, _) =>
           when(map_contains_key(without, k), concat(lit(field), lit("."), k))
             .otherwise(k))
-        map_concat(without, renamed)
+        // merge_maps (not bare map_concat): a renamed "<field>.<key>" that
+        // already exists in the event must overwrite, not throw
+        merge_maps(without, renamed)
       }
     when(parsed.isNotNull, merged).otherwise(fields)
   }

@@ -17,6 +17,10 @@ object GraftFunctions {
     // separately into the ts field; fortinet.rs:78-105)
     "logfmt_parse_fortinet" -> ((exprs: Seq[Expression]) =>
       LogfmtParse(exprs.head, dropNullValues = true, excludeKeys = Seq("date", "time"))),
+    // RFC5424 structured-data params: k="v" pairs are logfmt-compatible and
+    // dropping valueless keys discards the bare SD-id tokens for free
+    "logfmt_parse_sd" -> ((exprs: Seq[Expression]) =>
+      LogfmtParse(exprs.head, dropNullValues = true)),
     "cosine_sim" -> ((exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
     "fingerprint64" -> ((exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
     // k is passed as a literal int expression
@@ -24,6 +28,8 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Int])),
     "simhash64" -> ((exprs: Seq[Expression]) => SimHash64(exprs(0),
       exprs(1).eval() match { case i: Int => i.toLong; case l: Long => l })),
+    "simhash_multi" -> ((exprs: Seq[Expression]) => SimHashMulti(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
     "rp_sign" -> ((exprs: Seq[Expression]) => RpSign(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -39,10 +45,18 @@ object GraftFunctions {
       }))
   )
 
+  /** Idempotent AND once-per-session: re-registering on every query call
+    * spammed "function X replaced a previously registered function" WARNs
+    * into every driver artifact, so sessions that already have the last
+    * builder registered are skipped.
+    */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+    val sentinel = org.apache.spark.sql.catalyst.FunctionIdentifier(builders.last._1)
+    if (!reg.functionExists(sentinel)) {
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 
@@ -54,6 +68,9 @@ object GraftFunctions {
   /** Fortinet flavor: valueless keys dropped, date/time excluded. */
   def logfmt_parse_fortinet(c: Column): Column =
     call_function("logfmt_parse_fortinet", c)
+
+  /** Structured-data flavor: valueless keys (bare SD ids) dropped. */
+  def logfmt_parse_sd(c: Column): Column = call_function("logfmt_parse_sd", c)
 
   /** Cosine similarity of two array<float> columns (double result). */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -69,6 +86,10 @@ object GraftFunctions {
   def simhash64(c: Column, seed: Long = 0L): Column =
     call_function("simhash64", c, org.apache.spark.sql.functions.lit(seed))
 
+  /** nSigs independent 64-bit SimHashes (array<long>) in one token pass. */
+  def simhash_multi(c: Column, nSigs: Int): Column =
+    call_function("simhash_multi", c, org.apache.spark.sql.functions.lit(nSigs))
+
   /** Random-hyperplane signature (nBits packed in a long) of array<float>. */
   def rp_sign(c: Column, nBits: Int, seed: Long): Column = {
     import org.apache.spark.sql.functions.lit
@@ -77,6 +98,15 @@ object GraftFunctions {
 
   /** Null-skipping one-allocation map<string,string> from k1,v1,k2,v2,... */
   def compact_map(kvs: Column*): Column = call_function("compact_map", kvs: _*)
+
+  /** Merge map `upper` into `lower`, upper winning on key collision — the
+    * reference's serde_json insert-overwrite, made safe against Spark's
+    * default DUPLICATED_MAP_KEY map_concat exception.
+    */
+  def merge_maps(lower: Column, upper: Column): Column = {
+    import org.apache.spark.sql.functions.{map_concat, map_contains_key, map_filter}
+    map_concat(map_filter(lower, (k, _) => !map_contains_key(upper, k)), upper)
+  }
 
   /** One-shot regex match returning all capture groups (null = no match). */
   def regexp_groups(c: Column, pattern: String): Column =

@@ -38,16 +38,23 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSig {
+  /** Each shingle's bytes are hashed ONCE; the k per-position values are
+    * derived from that base hash with a splitmix64 mix per position
+    * (h_j = mix(base + (j+1)·golden)). Cost per shingle is L + 6k ops
+    * instead of the k·L of re-hashing per position — the round-1 kernel
+    * re-walked every shingle 64 times and dedup_minhash paid 39% of the
+    * whole bench suite for it.
+    */
   def sig(shingles: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill[Long](k)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val s = shingles.getUTF8String(i)
+        val base = Fingerprint64.hash64(shingles.getUTF8String(i))
         var j = 0
         while (j < k) {
-          val h = Fingerprint64.hash64Seeded(s, j.toLong)
+          val h = Fingerprint64.mix(base + (j + 1) * 0x9E3779B97F4A7C15L)
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -55,6 +62,73 @@ object MinHashSig {
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** `nSigs` independent 64-bit SimHashes of a token array in ONE pass: each
+  * token's bytes are hashed once, then per signature a splitmix64 mix of the
+  * base derives that signature's 64 vote bits. Returns array<long> of length
+  * nSigs — the multi-signature LSH source for near-dup banding (16-bit bands
+  * sliced from the concatenated signatures).
+  */
+case class SimHashMulti(child: Expression, nSigs: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash_multi requires array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMulti.sigs(input.asInstanceOf[ArrayData], nSigs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMulti.sigs($c, $nSigs)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMulti =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_multi"
+}
+
+object SimHashMulti {
+  def sigs(tokens: ArrayData, nSigs: Int): ArrayData = {
+    val votes = new Array[Int](nSigs * 64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = Fingerprint64.hash64(tokens.getUTF8String(i))
+        var sgi = 0
+        while (sgi < nSigs) {
+          val h = Fingerprint64.mix(base + (sgi + 1) * 0x9E3779B97F4A7C15L)
+          val off = sgi * 64
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(off + b) += 1 else votes(off + b) -= 1
+            b += 1
+          }
+          sgi += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](nSigs)
+    var sgi = 0
+    while (sgi < nSigs) {
+      var sig = 0L
+      val off = sgi * 64
+      var b = 0
+      while (b < 64) {
+        if (votes(off + b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(sgi) = sig
+      sgi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 

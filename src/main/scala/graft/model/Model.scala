@@ -51,7 +51,7 @@ final case class PipelineConfig(
     defaultSink: String = "other",
     quarantineSink: String = "quarantine",
     runTsMillis: Long = 0L,
-    shufflePartitions: Int = 32,
+    shufflePartitions: Int = 0, // 0 = derive from input size (bytes / 128 MB)
     saltBuckets: Int = 8,
     runId: String = "run-0"
 ) {
@@ -66,8 +66,8 @@ final case class PipelineConfig(
       Left("sink rule names must not collide with default/quarantine sinks")
     else if (saltBuckets < 1 || saltBuckets > 4096)
       Left(s"saltBuckets out of range [1,4096]: $saltBuckets")
-    else if (shufflePartitions < 1)
-      Left(s"shufflePartitions must be positive: $shufflePartitions")
+    else if (shufflePartitions < 0)
+      Left(s"shufflePartitions must be >= 0 (0 = derive from input size): $shufflePartitions")
     else Right(this)
   }
 }

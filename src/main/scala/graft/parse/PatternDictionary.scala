@@ -53,7 +53,8 @@ object PatternDictionary {
     text.startsWith("<") && text.rlike("^<\\d+>date=")
 
   def isSyslog(text: Column): Column =
-    text.startsWith("<") && regexp_groups(text, SyslogRe).isNotNull
+    text.startsWith("<") && (regexp_groups(text, Syslog5424Re).isNotNull ||
+      regexp_groups(text, SyslogRe).isNotNull)
 
   def isCombined(text: Column): Column =
     text.contains("] \"") && regexp_groups(text, CombinedRe).isNotNull
@@ -74,6 +75,11 @@ object PatternDictionary {
   // RFC3164: <pri>MMM [d]d HH:mm:ss host app[pid]: msg   (syslog.rs:22-97)
   val SyslogRe: String =
     "^<(\\d+)>([A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[\\s]+)(?:\\[(\\d+)\\])?: (.*)$"
+
+  // RFC5424: <pri>1 TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD [MSG]
+  // ('-' = nil; SD = '-' or one-or-more [id k="v" ...] blocks)
+  val Syslog5424Re: String =
+    "^<(\\d+)>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
 
   // host ident user [ts] "METHOD path proto" status size "ref" "ua"
   // (web_servers.py:7 anchored combined_pattern + the split(' ', 3) prefix)
@@ -118,6 +124,18 @@ object PatternDictionary {
       lit(runTsMillis / 1000L)) // Local::now() fallback -> injected run clock
   }
 
+  /** The full fortinet ROUTE-TRANSFORM semantics (fortinet.rs:73-111): a
+    * line containing '>' is pri-stripped (everything after the FIRST '>')
+    * and logfmt-parsed with the date/time → epoch-seconds stitch; a line
+    * with no '>' at all falls back to the whole parse_syslog treatment
+    * ("parse as syslog, and hope for the best", fortinet.rs:108-111).
+    */
+  def fortinetTransform(text: Column, defaultYear: Column, runTsMillis: Long): Column =
+    when(instr(text, ">") > 0,
+      map_concat(fortinetKv(text),
+        map(lit("t"), fortinetT(text, runTsMillis).cast("string"))))
+      .otherwise(syslogMap(text, defaultYear, runTsMillis))
+
   /** RFC3164 year resolution: the wire format has no year; syslog_loose
     * resolves against the current clock — we inject the run clock's year for
     * replay determinism (SURVEY.md §7.4.2).
@@ -127,18 +145,109 @@ object PatternDictionary {
       concat_ws(" ", defaultYear, regexp_replace(dateStr, " +", " ")),
       lit("yyyy MMM d HH:mm:ss")))
 
-  def syslogCols(text: Column, defaultYear: Column): Seq[(String, Column)] = {
+  // ---- syslog (full parse_syslog fidelity, syslog.rs:22-97) ----
+
+  /** RFC5424 facility/severity names as inserted by the reference
+    * (syslog.rs:43,67 `facility.as_str()` / `severity.as_str()` via the
+    * syslog_loose crate). pri values whose facility exceeds local7 get no
+    * facility key (syslog_loose yields None), matching the null-dropping
+    * map build here.
+    */
+  private val FacilityNames = Seq(
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clockd",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7")
+  private val SeverityNames = Seq(
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")
+
+  def facilityName(pri: Column): Column =
+    get(array(FacilityNames.map(lit): _*), shiftright(pri, 3).cast("int"))
+
+  def severityName(pri: Column): Column =
+    get(array(SeverityNames.map(lit): _*), (pri bitwiseAND lit(7L)).cast("int"))
+
+  /** Merge `upper` into `lower` with upper winning on key collision (the
+    * reference's serde_json `insert` overwrite, syslog.rs:70-94).
+    */
+  private def mergeMaps(lower: Column, upper: Column): Column =
+    graft.functions.GraftFunctions.merge_maps(lower, upper)
+
+  /** Message-body treatment (syslog.rs:81-94): a body that parses as a JSON
+    * object has its keys merged into the event (overwriting); anything else
+    * lands raw under `+message`. (Bare JSON scalars serialize identically
+    * either way for numbers/bools; a quoted-string body keeps its quotes
+    * here — the one knowing deviation, as Spark's from_json cannot target
+    * bare scalars.)
+    */
+  private def withMessageBody(base: Column, msg: Column): Column = {
+    val json = from_json(msg, FlatMapType)
+    when(json.isNotNull, mergeMaps(base, json))
+      .otherwise(mergeMaps(base, map(lit("+message"), msg)))
+  }
+
+  /** RFC3164 event map: header fields + named facility/severity + body
+    * JSON-merge; missing/unparseable timestamp falls back to the run clock
+    * (syslog.rs:31-35 `Utc::now()` → injected clock).
+    */
+  def syslog3164Map(text: Column, defaultYear: Column, runTsMillis: Long): Column = {
     val pri = try_cast_long(g(text, SyslogRe, 1))
-    Seq(
-      "t" -> rfc3164Millis(g(text, SyslogRe, 2), defaultYear),
-      "facility" -> shiftright(pri, 3),
-      "severity" -> (pri bitwiseAND lit(7L)),
+    val base = toMap(Seq(
+      "t" -> coalesce(rfc3164Millis(g(text, SyslogRe, 2), defaultYear),
+        lit(runTsMillis)),
+      "facility" -> facilityName(pri),
+      "severity" -> severityName(pri),
       "hostname" -> emptyToNull(g(text, SyslogRe, 3)),
       "app_name" -> emptyToNull(g(text, SyslogRe, 4)),
-      "proc_id" -> try_cast_long(emptyToNull(g(text, SyslogRe, 5))),
-      "message" -> g(text, SyslogRe, 6)
-    )
+      "proc_id" -> emptyToNull(g(text, SyslogRe, 5))))
+    withMessageBody(base, g(text, SyslogRe, 6))
   }
+
+  private def nilToNull(c: Column): Column = when(c =!= "-", c)
+
+  /** RFC5424 event map: header (nil-aware) + msg_id + structured-data
+    * flattening (last block's id under `id`, every block's params merged —
+    * syslog.rs:70-78) + body JSON-merge. Nil timestamp → run clock.
+    */
+  def syslog5424Map(text: Column, runTsMillis: Long): Column = {
+    val pri = try_cast_long(g(text, Syslog5424Re, 1))
+    val ts = unix_millis(try_to_timestamp(nilToNull(g(text, Syslog5424Re, 2)),
+      lit("yyyy-MM-dd'T'HH:mm:ssX")))
+    val base = toMap(Seq(
+      "t" -> coalesce(ts, lit(runTsMillis)),
+      "facility" -> facilityName(pri),
+      "severity" -> severityName(pri),
+      "hostname" -> nilToNull(g(text, Syslog5424Re, 3)),
+      "app_name" -> nilToNull(g(text, Syslog5424Re, 4)),
+      "proc_id" -> nilToNull(g(text, Syslog5424Re, 5)),
+      "msg_id" -> nilToNull(g(text, Syslog5424Re, 6))))
+    val sdPart = nilToNull(g(text, Syslog5424Re, 7))
+    // SD ids are the first token of each [block]; params are k="v" pairs —
+    // logfmt-compatible, and the fortinet-flavor parse (drop valueless
+    // keys) discards the bare id tokens from the param map for free
+    val sdId = emptyToNull(try_element_at(
+      regexp_extract_all(sdPart, lit("\\[([^\\s\\]]+)"), lit(1)), lit(-1)))
+    val sdParams = graft.functions.GraftFunctions.logfmt_parse_sd(
+      regexp_replace(coalesce(sdPart, lit("")), "[\\[\\]]", " "))
+    val withSd = mergeMaps(
+      when(sdId.isNotNull,
+        mergeMaps(base, graft.functions.GraftFunctions.compact_map(lit("id"), sdId)))
+        .otherwise(base),
+      sdParams)
+    withMessageBody(withSd, coalesce(g(text, Syslog5424Re, 8), lit("")))
+  }
+
+  /** The unified `parse_syslog` analogue — total over any string: 5424,
+    * then 3164, then the loose fallback {t: run clock, +message: line}
+    * (syslog_loose never fails; an unrecognized line is all-message).
+    */
+  def syslogMap(text: Column, defaultYear: Column, runTsMillis: Long): Column =
+    when(regexp_groups(text, Syslog5424Re).isNotNull,
+      syslog5424Map(text, runTsMillis))
+      .when(regexp_groups(text, SyslogRe).isNotNull,
+        syslog3164Map(text, defaultYear, runTsMillis))
+      .otherwise(map(lit("t"), lit(runTsMillis).cast("string"),
+        lit("+message"), text))
 
   def combinedCols(text: Column): Seq[(String, Column)] = {
     val user = g(text, CombinedRe, 3)
@@ -220,7 +329,7 @@ object PatternDictionary {
       map(lit("t"), fortinetT(text, runTsMillis).cast("string")))
 
     val fields = when(isFortinet(text), fortinetMap)
-      .when(isSyslog(text), toMap(syslogCols(text, year)))
+      .when(isSyslog(text), syslogMap(text, year, runTsMillis))
       .when(isCombined(text), toMap(combinedCols(text)))
       .when(isError(text), toMap(errorCols(text)))
       .when(isKern(text), toMap(kernCols(text, year)))

@@ -41,23 +41,45 @@ object PipelineQueries {
     names.map(n => n -> try_element_at(kv, lit(n)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full route-transform semantics incl. the no-'>' parse_syslog fallback
+    // (fortinet.rs:73-111): 1/5 of the input lines carry no pri and land in
+    // the loose fallback {t: run-clock millis, +message: raw line}
     "pipe_fortinet_parse" -> { (s, dir) =>
       reg(s)
-      val text = col("text")
-      val kv = PatternDictionary.fortinetKv(text)
+      val kv = PatternDictionary.fortinetTransform(col("text"), year2024, RunTsMillis)
       val cols: Seq[(String, Column)] =
-        Seq("t" -> PatternDictionary.fortinetT(text, RunTsMillis)) ++
+        Seq("t" -> try_element_at(kv, lit("t")).try_cast("long")) ++
           mapCols(kv, Seq("devname", "subtype", "vd", "action")) ++
           Seq(
             "ftype" -> try_element_at(kv, lit("type")),
             "usr" -> try_element_at(kv, lit("user")),
             "srcport" -> try_element_at(kv, lit("srcport")).try_cast("long"),
-            "msg" -> try_element_at(kv, lit("msg")))
-      fmtQuery(Transcripts.fortinetLine, cols)(s, dir)
+            "msg" -> try_element_at(kv, lit("msg")),
+            "pmsg" -> try_element_at(kv, lit("+message")))
+      fmtQuery(Transcripts.fortinetRouteLine, cols)(s, dir)
     },
+    // full parse_syslog fidelity (syslog.rs:22-97): RFC3164 + RFC5424,
+    // named facility/severity, msg_id, SD id+param flattening, JSON message
+    // bodies merged, nil/unparseable timestamp -> run clock
     "pipe_syslog_parse" -> { (s, dir) =>
-      fmtQuery(Transcripts.syslogLine,
-        PatternDictionary.syslogCols(col("text"), year2024))(s, dir)
+      reg(s)
+      val m = PatternDictionary.syslogMap(col("text"), year2024, RunTsMillis)
+      def f(k: String) = try_element_at(m, lit(k))
+      val cols: Seq[(String, Column)] = Seq(
+        "t" -> f("t").try_cast("long"),
+        "facility" -> f("facility"),
+        "severity" -> f("severity"),
+        "hostname" -> f("hostname"),
+        "app_name" -> f("app_name"),
+        "proc_id" -> f("proc_id"),
+        "msg_id" -> f("msg_id"),
+        "sd_id" -> f("id"),
+        "iut" -> f("iut"),
+        "event_source" -> f("eventSource"),
+        "etype" -> f("etype"),
+        "k_merged" -> f("k"),
+        "message" -> f("+message"))
+      fmtQuery(Transcripts.syslogLine, cols)(s, dir)
     },
     "pipe_combined_parse" -> { (s, dir) =>
       val cols = PatternDictionary.combinedCols(col("text")).map {
@@ -137,6 +159,33 @@ object PipelineQueries {
         try_element_at(enriched, lit("src")).as("src")
       ).orderBy("event_id")
     },
+    // logfmt TRANSFORM merge semantics (logfmt.rs:75-95): pop the field,
+    // merge parsed pairs; collision rename "<field>.<key>" on
+    // overwrite=false; renamed key overwrites a pre-existing
+    // "<field>.<key>"; overwrite=true lets incoming pairs win
+    "pipe_logfmt_merge" -> { (s, dir) =>
+      reg(s)
+      val attrsVal = concat(lit("a="), col("event_id"),
+        lit(" b=\""), col("event_type"), lit(" v\" host=inner"))
+      val base = map(
+        lit("attrs"), attrsVal,
+        lit("a"), lit("orig"),
+        lit("attrs.a"), lit("pre"),
+        lit("host"), concat(lit("h"), col("user_id")))
+      val noOver = Enrich.logfmtMergeField(base, "attrs", overwrite = false)
+      val over = Enrich.logfmtMergeField(base, "attrs", overwrite = true)
+      Transcripts.events(s, dir).select(
+        col("event_id"),
+        try_element_at(noOver, lit("a")).as("a_keep"),
+        try_element_at(noOver, lit("attrs.a")).as("attrs_a"),
+        try_element_at(noOver, lit("b")).as("b"),
+        try_element_at(noOver, lit("host")).as("host_keep"),
+        try_element_at(noOver, lit("attrs.host")).as("attrs_host"),
+        map_contains_key(noOver, lit("attrs")).as("attrs_still_there"),
+        try_element_at(over, lit("a")).as("a_over"),
+        try_element_at(over, lit("host")).as("host_over")
+      ).orderBy("event_id")
+    },
     "pipe_enrich" -> { (s, dir) =>
       reg(s)
       val t = Transcripts.transcripts(s, dir)
@@ -185,8 +234,13 @@ object PipelineQueries {
       "WHEN event_id % 8 IN (1, 3, 4) THEN 'system' " +
       "ELSE 'other' END"
 
+  // syslog rows (event_id % 8 = 1): the % 5 = 4 variant has a nil RFC5424
+  // timestamp -> run-clock fallback
+  private val syslogTSql =
+    s"CASE WHEN event_id % 5 = 4 THEN 1717200000000 ELSE $tMs END"
+
   private val e2eTSql: String =
-    s"CASE (event_id % 8) WHEN 0 THEN $tSec WHEN 1 THEN $tMs WHEN 2 THEN $tMs " +
+    s"CASE (event_id % 8) WHEN 0 THEN $tSec WHEN 1 THEN ($syslogTSql) WHEN 2 THEN $tMs " +
       s"WHEN 3 THEN epoch_ms(ts) WHEN 4 THEN $tMs ELSE NULL END"
 
   private val roleKindSql =
@@ -196,18 +250,59 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "pipe_fortinet_parse" ->
-      s"""SELECT event_id, $tSec AS t, 'FGT' || user_id AS devname, 'app-ctrl' AS subtype,
-          'root' AS vd, CASE WHEN event_id % 7 = 0 THEN 'block' ELSE 'pass' END AS action,
-          CASE WHEN event_id % 3 = 0 THEN 'event' ELSE 'utm' END AS ftype,
-          'u' || user_id AS usr, 1024 + (event_id % 60000) AS srcport,
-          event_type || ': SSL,' AS msg
+      s"""SELECT event_id,
+          CASE WHEN event_id % 5 = 4 THEN 1717200000000 ELSE $tSec END AS t,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE 'FGT' || user_id END AS devname,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE 'app-ctrl' END AS subtype,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE 'root' END AS vd,
+          CASE WHEN event_id % 5 = 4 THEN NULL
+               WHEN event_id % 7 = 0 THEN 'block' ELSE 'pass' END AS action,
+          CASE WHEN event_id % 5 = 4 THEN NULL
+               WHEN event_id % 3 = 0 THEN 'event' ELSE 'utm' END AS ftype,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE 'u' || user_id END AS usr,
+          CASE WHEN event_id % 5 = 4 THEN NULL
+               ELSE 1024 + (event_id % 60000) END AS srcport,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE event_type || ': SSL,' END AS msg,
+          CASE WHEN event_id % 5 = 4 THEN
+            'date=' || strftime(ts, '%Y-%m-%d') || ' time=' || strftime(ts, '%H:%M:%S')
+            || ' devname=FGT' || user_id || ' devid=FGT' || user_id
+            || ' logid=' || event_id
+            || ' type=' || CASE WHEN event_id % 3 = 0 THEN 'event' ELSE 'utm' END
+            || ' subtype=app-ctrl level=information vd="root" user="u' || user_id
+            || '" srcip=192.168.1.' || (user_id % 250)
+            || ' srcport=' || (1024 + event_id % 60000)
+            || ' dstport=443 proto=6 service="HTTPS" action='
+            || CASE WHEN event_id % 7 = 0 THEN 'block' ELSE 'pass' END
+            || ' msg="' || event_type || ': SSL," apprisk=elevated'
+          ELSE NULL END AS pmsg
           FROM events ORDER BY event_id""",
     "pipe_syslog_parse" ->
-      s"""SELECT event_id, $tMs AS t, (event_id % 192) // 8 AS facility,
-          (event_id % 192) % 8 AS severity, 'host' || user_id AS hostname,
-          'app' || (event_id % 7) AS app_name, event_id % 30000 AS proc_id,
-          'evt ' || event_type || ' ' || event_id AS message
+      s"""SELECT event_id, ($syslogTSql) AS t,
+          (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp',
+            'cron','authpriv','ftp','ntp','audit','alert','clockd','local0',
+            'local1','local2','local3','local4','local5','local6','local7'])
+            [((event_id % 192) // 8) + 1] AS facility,
+          (['emerg','alert','crit','err','warning','notice','info','debug'])
+            [((event_id % 192) % 8) + 1] AS severity,
+          CASE WHEN event_id % 5 = 4 THEN NULL ELSE 'host' || user_id END AS hostname,
+          'app' || (event_id % 7) AS app_name,
+          CASE WHEN event_id % 5 = 4 THEN NULL
+               ELSE CAST(event_id % 30000 AS VARCHAR) END AS proc_id,
+          CASE WHEN event_id % 5 >= 3 THEN 'mid' || (event_id % 9) END AS msg_id,
+          CASE WHEN event_id % 5 = 3 THEN 'exampleSDID@32473' END AS sd_id,
+          CASE WHEN event_id % 5 = 3 THEN CAST(event_id % 4 AS VARCHAR) END AS iut,
+          CASE WHEN event_id % 5 = 3 THEN event_type END AS event_source,
+          CASE WHEN event_id % 5 IN (2, 4) THEN event_type END AS etype,
+          CASE WHEN event_id % 5 IN (2, 4) THEN CAST(event_id AS VARCHAR) END AS k_merged,
+          CASE WHEN event_id % 5 IN (2, 4) THEN NULL
+               ELSE 'evt ' || event_type || ' ' || event_id END AS message
           FROM events ORDER BY event_id""",
+    "pipe_logfmt_merge" ->
+      """SELECT event_id, 'orig' AS a_keep, CAST(event_id AS VARCHAR) AS attrs_a,
+         event_type || ' v' AS b, 'h' || user_id AS host_keep,
+         'inner' AS attrs_host, FALSE AS attrs_still_there,
+         CAST(event_id AS VARCHAR) AS a_over, 'inner' AS host_over
+         FROM events ORDER BY event_id""",
     "pipe_combined_parse" ->
       s"""SELECT event_id, 'h' || (user_id % 50) AS host,
           CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'u' || user_id END AS usr,

@@ -59,10 +59,44 @@ object Transcripts {
     when(K % 7 === 0, "block").otherwise("pass"),
     lit(" msg=\""), E, lit(": SSL,\" apprisk=elevated"))
 
-  def syslogLine: Column = concat(
-    lit("<"), pmod(K, lit(192)), lit(">"), d("MMM dd HH:mm:ss"),
-    lit(" host"), U, lit(" app"), pmod(K, lit(7)),
-    lit("["), pmod(K, lit(30000)), lit("]: evt "), E, lit(" "), K)
+  /** Syslog mix covering the reference's full parse_syslog surface
+    * (syslog.rs:22-97), variant by event_id % 5:
+    *   0,1 — RFC3164, plain text body
+    *   2   — RFC3164, JSON-object body (keys merged into the event)
+    *   3   — RFC5424 with msg_id + structured data + plain body
+    *   4   — RFC5424 with nil timestamp/hostname/procid (run-clock
+    *         fallback) + JSON-object body
+    */
+  def syslogLine: Column = {
+    val pri = pmod(K, lit(192))
+    val jsonBody = concat(
+      lit("{\"etype\": \""), E, lit("\", \"k\": \""), K, lit("\"}"))
+    val plainBody = concat(lit("evt "), E, lit(" "), K)
+    val m5 = pmod(K, lit(5))
+    val rfc3164Head = concat(
+      lit("<"), pri, lit(">"), d("MMM dd HH:mm:ss"),
+      lit(" host"), U, lit(" app"), pmod(K, lit(7)),
+      lit("["), pmod(K, lit(30000)), lit("]: "))
+    when(m5 <= 1, concat(rfc3164Head, plainBody))
+      .when(m5 === 2, concat(rfc3164Head, jsonBody))
+      .when(m5 === 3, concat(
+        lit("<"), pri, lit(">1 "), d("yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit(" host"), U, lit(" app"), pmod(K, lit(7)),
+        lit(" "), pmod(K, lit(30000)), lit(" mid"), pmod(K, lit(9)),
+        lit(" [exampleSDID@32473 iut=\""), pmod(K, lit(4)),
+        lit("\" eventSource=\""), E, lit("\"] "), plainBody))
+      .otherwise(concat(
+        lit("<"), pri, lit(">1 - - app"), pmod(K, lit(7)),
+        lit(" - mid"), pmod(K, lit(9)), lit(" - "), jsonBody))
+  }
+
+  /** Fortinet ROUTE input mix: 4/5 normal pri-prefixed lines, 1/5 with no
+    * '>' at all — exercising the transform's parse_syslog fallback
+    * (fortinet.rs:108-111; such lines get {t: run clock, +message: line}).
+    */
+  def fortinetRouteLine: Column =
+    when(pmod(K, lit(5)) === 4, regexp_replace(fortinetLine, "^<190>", ""))
+      .otherwise(fortinetLine)
 
   def combinedLine: Column = concat(
     hostStr, lit(" - "), userStr,

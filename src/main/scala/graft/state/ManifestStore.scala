@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-(sink, bucket) progress manifest — the reference's core correctness
@@ -18,15 +18,12 @@ import org.apache.spark.sql.functions._
   * production binding is an Iceberg table with the same three operations —
   * no Iceberg runtime jar exists in this offline sandbox (SURVEY.md §7.1.7).
   */
-final class ManifestStore(spark: SparkSession, path: String) {
+final class ManifestStore(spark: SparkSession, path: String,
+    format: TableFormat = ParquetFormat) {
 
   private val schema = "run_id string, sink string, bucket int, rows long, wall_ms long, committed_at long"
 
-  def read(): DataFrame =
-    try spark.read.schema(schema).parquet(path)
-    catch { case _: Exception => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema)) }
+  def read(): DataFrame = format.readSnapshot(spark, path, schema)
 
   /** Buckets already durably committed for a sink. The manifest is tiny
     * (O(sinks × buckets) rows), so collecting to the driver is safe at any
@@ -36,13 +33,10 @@ final class ManifestStore(spark: SparkSession, path: String) {
     committedPairs().collect { case (s, b) if s == sink => b }
 
   /** All committed (sink, bucket) pairs. */
-  def committedPairs(): Set[(String, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+  def committedPairs(): Set[(String, Int)] =
+    if (!format.exists(spark, path)) Set.empty
     else read().select("sink", "bucket")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-  }
 
   /** Append commit rows for the (sink, bucket) pairs just written (one
     * action, strictly after the sink write has returned = data durable).
@@ -50,11 +44,12 @@ final class ManifestStore(spark: SparkSession, path: String) {
   def commit(runId: String, pairs: Seq[(String, Int, Long)], wallMs: Long,
       committedAt: Long): Unit = {
     import spark.implicits._
-    pairs.toDF("sink", "bucket", "rows")
-      .select(lit(runId).as("run_id"), col("sink"), col("bucket"),
-        col("rows"), lit(wallMs).as("wall_ms"), lit(committedAt).as("committed_at"))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(path)
+    format.append(
+      pairs.toDF("sink", "bucket", "rows")
+        .select(lit(runId).as("run_id"), col("sink"), col("bucket"),
+          col("rows"), lit(wallMs).as("wall_ms"), lit(committedAt).as("committed_at"))
+        .coalesce(1),
+      path)
   }
 
   /** Single-sink convenience (tests). */

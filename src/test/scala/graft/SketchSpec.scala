@@ -53,6 +53,20 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 $recall below 0.8 (|brute|=${brute.size})")
   }
 
+  test("ann_ivf recall@5 >= 0.9 vs ann_brute at sf0.1, deterministic") {
+    val brute = graft.ops.TrainingOps.queries("ann_brute")(spark, sf("0.1"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run() = graft.ops.TrainingOps.queries("ann_ivf")(spark, sf("0.1"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = run()
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    val scan = graft.ops.TrainingOps.IvfProbes.toDouble / graft.ops.TrainingOps.IvfCells
+    info(s"ann_ivf recall@5=$recall at scan fraction $scan")
+    assert(recall >= 0.9, s"recall@5 $recall below 0.9")
+    assert(scan < 0.7, s"probed fraction $scan not sub-linear")
+    assert(run() === ivf, "ann_ivf not deterministic across runs")
+  }
+
   test("text_fingerprint golden values are stable across runs") {
     val a = graft.ops.TrainingOps.queries("text_fingerprint")(spark, sf("0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
