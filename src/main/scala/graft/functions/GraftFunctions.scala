@@ -38,6 +38,8 @@ object GraftFunctions {
     "regexp_groups" -> ((exprs: Seq[Expression]) => RegexpGroups(exprs(0),
       exprs(1).eval().toString)),
     "compact_map" -> ((exprs: Seq[Expression]) => CompactMap(exprs)),
+    "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
+    "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -71,6 +73,14 @@ object GraftFunctions {
 
   /** Structured-data flavor: valueless keys (bare SD ids) dropped. */
   def logfmt_parse_sd(c: Column): Column = call_function("logfmt_parse_sd", c)
+
+  /** Lumberjack v2 frame from an array<string> of payloads (seq 1-based). */
+  def lumberjack_encode(c: Column): Column = call_function("lumberjack_encode", c)
+
+  /** Lumberjack v2 frame -> array<struct<seq:int,payload:string>> (null on
+    * malformed bytes).
+    */
+  def lumberjack_decode(c: Column): Column = call_function("lumberjack_decode", c)
 
   /** Cosine similarity of two array<float> columns (double result). */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -156,6 +156,42 @@ object GenericQueries {
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_suppkey")).as("n_supp"))
         .orderBy("l_returnflag")
+    },
+    // pivot with an EXPLICIT value list (omitting it costs an extra
+    // distinct-collect pass over the fact table — never at 100 TB)
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus").as("status"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_unspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+        .orderBy("status")
+    },
+    // lateral one-to-many: posexplode (generator/flatMap surface)
+    "q_explode" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .orderBy("p_partkey", "pos")
+    },
+    // approximate distinct (HyperLogLog) vs exact, compared with INTEGER
+    // threshold math: both engines' sketches differ, so the oracle-checked
+    // value is the exact count plus a "within 5%" flag that both satisfy
+    "q_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("approx_within_5pct"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -240,6 +276,24 @@ object GenericQueries {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      """SELECT o_orderstatus AS status,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+         count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_unspec,
+         count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q_explode" ->
+      """SELECT p_partkey,
+         CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+         unnest(string_split(p_name, ' ')) AS word
+         FROM part ORDER BY p_partkey, pos""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+         abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 20
+           <= count(DISTINCT l_orderkey) AS approx_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -186,6 +186,27 @@ object PipelineQueries {
         try_element_at(over, lit("host")).as("host_over")
       ).orderBy("event_id")
     },
+    // lumberjack v2 batch decode (S6/S7, lumberjack_decoder.rs:121-148):
+    // each event synthesizes a 2-payload compressed frame, the codec
+    // decodes it back, and payloads get the reference's JSON-object
+    // treatment (plugins/lumberjack.rs:92-101). The decoder is additionally
+    // pinned byte-level by LumberjackSpec against a hand-assembled frame.
+    "pipe_lumberjack" -> { (s, dir) =>
+      reg(s)
+      import graft.functions.GraftFunctions.{lumberjack_decode, lumberjack_encode}
+      val p1 = Transcripts.jsonLine
+      val p2 = concat(lit("{\"etype\": \""), col("event_type"),
+        lit("\", \"k\": \""), col("event_id") + 1000000, lit("\"}"))
+      val decoded = lumberjack_decode(lumberjack_encode(array(p1, p2)))
+      Transcripts.events(s, dir)
+        .select(col("event_id"), explode(decoded).as("e"))
+        .select(col("event_id"), col("e.seq").as("seq"),
+          try_element_at(from_json(col("e.payload"), PatternDictionary.FlatMapType),
+            lit("etype")).as("etype"),
+          try_element_at(from_json(col("e.payload"), PatternDictionary.FlatMapType),
+            lit("k")).as("k"))
+        .orderBy("event_id", "seq")
+    },
     "pipe_enrich" -> { (s, dir) =>
       reg(s)
       val t = Transcripts.transcripts(s, dir)
@@ -346,6 +367,11 @@ object PipelineQueries {
       """SELECT event_id, 'h' || user_id AS host, CAST(event_id AS VARCHAR) AS sess,
          event_type || ' ok' AS act, '10.0.0.' || (user_id % 250) AS src
          FROM events ORDER BY event_id""",
+    "pipe_lumberjack" ->
+      """SELECT event_id, CAST(seq AS INT) AS seq, event_type AS etype,
+         CAST(CASE WHEN seq = 1 THEN event_id ELSE event_id + 1000000 END AS VARCHAR) AS k
+         FROM events CROSS JOIN (VALUES (1), (2)) t(seq)
+         ORDER BY event_id, seq""",
     "pipe_enrich" ->
       s"""SELECT 'conv-' || user_id AS conv_id, CAST(event_id AS INT) AS turn_idx,
           CASE (event_id % 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' ELSE 'system' END AS role,
