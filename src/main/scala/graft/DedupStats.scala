@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.TrainingOps
+
+/** Candidate-funnel diagnostics for the LSH dedup queries: prints, per
+  * stage, how many pairs each mechanism generates before the exact-Jaccard
+  * verify — the number that decides whether the banding survives a 1000x
+  * scale-up (VERDICT r1 asked for the candidate count to be logged).
+  *
+  * Usage: `sbt "runMain graft.DedupStats [sfDir]"` (default sf0.1).
+  */
+object DedupStats {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.ensureRegistered(spark)
+
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = d.count()
+    val tok = split(lower(trim(col("text"))), "\\s+")
+    val dsh = d.select(col("doc_id"), GraftFunctions.word_shingles(tok, 3).as("sh"))
+      .persist()
+
+    def banding(sig: DataFrame, banded: DataFrame, probed: DataFrame,
+        label: String): Unit = {
+      val raw = banded.as("x").join(probed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      val distinctPairs = raw.distinct().count()
+      println(f"$label%-10s candidates=$distinctPairs%,d " +
+        f"(${distinctPairs * 2.0 / (nDocs * (nDocs - 1))}%.2e of all pairs)")
+    }
+
+    // minhash: 16 bands x 4 rows, exact band-key join
+    val mSig = dsh.select(col("doc_id"),
+      GraftFunctions.minhash_sig(col("sh"), TrainingOps.MinHashK).as("sig"))
+    val rows = TrainingOps.MinHashK / TrainingOps.MinHashBands
+    val mBanded = mSig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(TrainingOps.MinHashBands - 1)),
+        b => struct(b.as("band"),
+          slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    banding(mSig, mBanded, mBanded, "minhash")
+
+    // simhash: 36 bands x 16 bits, hamming<=1 multi-probe join
+    val bandsPerSig = 64 / TrainingOps.SimHashBandBits
+    val sSig = dsh.select(col("doc_id"),
+      GraftFunctions.simhash_multi(col("sh"), TrainingOps.SimHashSigs).as("sigs"))
+    val sBanded = sSig.select(col("doc_id"),
+      explode(flatten(transform(sequence(lit(0), lit(TrainingOps.SimHashSigs - 1)), si =>
+        transform(sequence(lit(0), lit(bandsPerSig - 1)), slot =>
+          struct((si * bandsPerSig + slot).as("band"),
+            call_function("shiftright", get(col("sigs"), si),
+              slot * TrainingOps.SimHashBandBits)
+              .bitwiseAND(lit(0xFFFFL)).as("key")))))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val masks = (Seq(0L) ++ (0 until 16).map(i => (1 << i).toLong))
+    val sProbed = sBanded.select(col("doc_id"), col("band"),
+      explode(transform(array(masks.map(lit(_)): _*),
+        m => col("key").bitwiseXOR(m))).as("key"))
+    banding(sSig, sBanded, sProbed, "simhash")
+
+    // ngram: co-shingle pairs off the (capped) inverted index
+    val ex = dsh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ng = ex.select(col("doc_id").as("ia"), col("s"))
+      .join(ex.select(col("doc_id").as("ib"), col("s")), Seq("s"))
+      .filter(col("ia") < col("ib")).select("ia", "ib").distinct().count()
+    println(f"ngram      candidates=$ng%,d (co-shingle pairs; " +
+      f"cap=${TrainingOps.ShingleFreqCap} never binds at this sf)")
+    spark.stop()
+  }
+}

@@ -136,6 +136,18 @@ object ScaleBench {
          |VM cap, not a Spark-plan bottleneck (the plan has one shuffle and
          |no driver-side row work).
          |
+         |## Shuffle width derivation
+         |
+         |The pipeline sizes its one shuffle from the DATA unless pinned:
+         |partitions = max(defaultParallelism, inputBytes / 128 MB)
+         |(Pipeline.derivedShufflePartitions; AQE coalesces overshoot on
+         |small inputs). This benchmark pins partitions = 2 x cores so the
+         |two levels compare like-for-like on identical input. At 100 TB
+         |the formula yields ~800k reducer tasks of ~128 MB each, where a
+         |fixed count of 32 would mean 3 TB per task (guaranteed spill).
+         |The same green e2e oracle rows hold under the derived width
+         |(CORRECTNESS rows pipe_e2e_routed / pipe_e2e_counts).
+         |
          |## Machine calibration (ambient ceiling)
          |
          |Embarrassingly parallel pure-CPU JVM work (no Spark, no IO, no

@@ -38,6 +38,8 @@ object GraftFunctions {
     "regexp_groups" -> ((exprs: Seq[Expression]) => RegexpGroups(exprs(0),
       exprs(1).eval().toString)),
     "compact_map" -> ((exprs: Seq[Expression]) => CompactMap(exprs)),
+    "word_shingles" -> ((exprs: Seq[Expression]) => WordShingles(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
@@ -73,6 +75,10 @@ object GraftFunctions {
 
   /** Structured-data flavor: valueless keys (bare SD ids) dropped. */
   def logfmt_parse_sd(c: Column): Column = call_function("logfmt_parse_sd", c)
+
+  /** Distinct word n-gram shingles of an array<string> token column. */
+  def word_shingles(c: Column, n: Int): Column =
+    call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
 
   /** Lumberjack v2 frame from an array<string> of payloads (seq 1-based). */
   def lumberjack_encode(c: Column): Column = call_function("lumberjack_encode", c)

@@ -23,6 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class LumberjackDecode(child: Expression) extends UnaryExpression {
 
+  // malformed frames decode to null even when the input is non-nullable;
+  // without this the codegen template makes ev.isNull a literal and the
+  // generated assignment fails to compile (whole-stage codegen falls back
+  // to the interpreter for the entire stage)
+  override def nullable: Boolean = true
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("seq", IntegerType, nullable = false),

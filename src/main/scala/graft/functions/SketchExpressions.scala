@@ -65,6 +65,62 @@ object MinHashSig {
   }
 }
 
+/** Distinct word n-gram shingles from an ALREADY-TOKENIZED array<string>,
+  * in one kernel pass: byte-identical to the
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ", t[i], ...)))`
+  * expression stack it replaces (UTF8String.concatWs is what concat_ws
+  * lowers to), but without the per-shingle sequence/transform/array
+  * allocations — the stack version dominated the shared shingle-frame
+  * cache build (~10 s of a 64 s bench suite at sf0.1). Tokenization stays
+  * Spark's `split` so the oracle-mirrored semantics are untouched.
+  * Under n tokens -> empty array (matching the `when(size >= n)` guard).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // insertion-ordered distinct, like array_distinct (first wins)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** `nSigs` independent 64-bit SimHashes of a token array in ONE pass: each
   * token's bytes are hashed once, then per signature a splitmix64 mix of the
   * base derives that signature's 64 vote bits. Returns array<long> of length

@@ -43,29 +43,36 @@ object TrainingOps {
     */
   val MinHashPrefilterMin = 42
 
-  /** SimHash near-dup parameters. 4 independent 64-bit signatures = 256
-    * bits, banded as 16 bands x 16 bits; candidate generation joins exact
-    * band keys against multi-probe keys (all masks of band-Hamming <= 2, 137
-    * per band) so a pair is caught iff SOME band differs in <= 2 bits.
+  /** SimHash near-dup parameters. 9 independent 64-bit signatures = 576
+    * bits (one token pass, one base hash per shingle), banded as 36 bands
+    * x 16 bits; candidate generation joins exact band keys against
+    * multi-probe keys (17 masks of band-Hamming <= 1) so a pair is caught
+    * iff SOME band differs in <= 1 bit.
     *
     * Recall at the J = 0.9 oracle boundary: the worst planted boundary pair
     * is tiny (|A∩B| = 9, |A∪B| = 10 in the sf0.01 data), where the per-bit
     * flip probability is 0.123 (vs 0.104 asymptotic) — design at p = 0.125:
-    * per-band match = P(Binom(16, p) <= 2) = 0.677, miss over 16 bands
-    * = (1-0.677)^16 = 1.4e-8; Hamming prefilter (<= 64 of 256) misses
-    * P(Binom(256, p) > 64) = 1.6e-8; total ~3e-8 < 1e-7.
+    * per-band match = P(Binom(16, p) <= 1) = 0.388, miss over 36 bands
+    * = (1-0.388)^36 = 2.1e-8; Hamming prefilter (<= 120 of 576) misses
+    * P(Binom(576, p) > 120) = 7.4e-9; total ~3e-8 < 1e-7.
     *
-    * Scale shape: 16-bit keys give 65,536 buckets per band — random
-    * collisions are 24x rarer than the round-1 8-bit banding (16·137/2^16
-    * = 0.033 per pair vs 16/2^8 = 0.0625, with multi-probe already counted)
-    * and the per-band bucket fan-in shrinks 256x. The probe side emits
-    * 16·137 rows/doc — linear, shuffle-heavy but skew-free; at extreme n the
-    * band width should grow with log2(n) (Manku et al., WWW'07), which this
-    * layout supports by reslicing the same 256 signature bits.
+    * Scale shape: 16-bit keys give 65,536 buckets per band, and the
+    * uniform-model candidate rate for unrelated docs is 36·17/2^16 =
+    * 0.0093 per pair — 6.7x below the round-1 8-bit banding (16/2^8 =
+    * 0.0625; measured by graft.DedupStats at sf0.1: 126,177 candidates,
+    * 1.0e-2 of all pairs) — with per-band
+    * bucket fan-in shrunk 256x. The probe side emits 36·17 = 612 rows/doc:
+    * linear, skew-free. At extreme n the band width should grow with
+    * log2(n) (Manku et al., WWW'07), which this layout supports by
+    * reslicing the same 576 signature bits; the flip rate p ~ 0.125 at
+    * J = 0.9 information-theoretically caps exact-recall band width near
+    * 1/p bits per extra band, which is why J=0.9 dedup at the very largest
+    * scales belongs to MinHash (whose per-position match rate is J itself)
+    * while SimHash shines at the near-exact tier.
     */
-  val SimHashSigs = 4
+  val SimHashSigs = 9
   val SimHashBandBits = 16
-  val SimHashHammingMax = 64 // prefilter cutoff over the 256 signature bits
+  val SimHashHammingMax = 120 // prefilter cutoff over the 576 signature bits
 
   /** IVF coarse-quantizer cells and probed-cells-per-query (ann_ivf).
     * Tuned on the testdata to the recall@5 >= 0.9 pin (measured 0.92 at
@@ -79,11 +86,9 @@ object TrainingOps {
   val IvfCells = 32
   val IvfProbes = 20
 
-  /** 137 xor-masks enumerating band-Hamming <= 2 over 16 bits. */
+  /** 17 xor-masks enumerating band-Hamming <= 1 over 16 bits. */
   private val SimHashProbeMasks: Seq[Long] =
-    (Seq(0) ++ (0 until 16).map(1 << _) ++
-      (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j)))
-      .map(_.toLong)
+    (Seq(0) ++ (0 until 16).map(1 << _)).map(_.toLong)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -95,15 +100,13 @@ object TrainingOps {
 
   private def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word 3-gram shingles ('' for docs under 3 tokens). */
-  private def shingles(text: Column): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word 3-gram shingles (empty for docs under 3 tokens) — the
+    * one-pass WordShingles kernel over Spark's own `split` tokens
+    * (byte-identical to the transform/concat_ws/array_distinct stack the
+    * oracle SQL mirrors, ~10 s cheaper per session at sf0.1).
+    */
+  private def shingles(text: Column): Column =
+    GraftFunctions.word_shingles(tokens(text), 3)
 
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
@@ -117,9 +120,11 @@ object TrainingOps {
     * derive from this single tokenize+shingle pass (round 1 recomputed
     * shingles from text twice per query and cached an exploded copy each).
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exploded inverted index (doc_id, shingle) off the cached array frame. */
   private def explodedIndex(dsh: DataFrame): DataFrame =
@@ -259,21 +264,38 @@ object TrainingOps {
     "dedup_ngram" -> { (s, dir) =>
       val dsh = docShingles(s, dir)
       val sh0 = explodedIndex(dsh)
-      // stop-shingle cap: keeps the inverted-index join linear-ish at scale
-      // — but ONLY for candidate generation; the exact-Jaccard verify runs
-      // on the UNCAPPED index so numerator and denominator stay consistent
-      // with the uncapped oracle (round 1 subtracted hot shingles from the
-      // intersection but not the union). A true pair ALL of whose common
-      // shingles are hot is the one recall exception; max df in the
-      // testdata is 25 (sf0.1) so the cap never binds below ~40x that scale.
+      // stop-shingle cap: keeps the inverted-index join linear-ish at
+      // scale, but ONLY for candidate/intersection generation — the final
+      // Jaccard is made exact again by adding back each candidate pair's
+      // hot-shingle intersections (an EMPTY join whenever the cap never
+      // binds; max df in the testdata is 25 at sf0.1) and taking per-doc
+      // counts from the uncapped arrays, so the query always agrees with
+      // the uncapped oracle (round 1 deflated the numerator only). The one
+      // recall exception stays: a true pair sharing ONLY hot shingles
+      // never becomes a candidate.
       val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > ShingleFreqCap).select("s")
       val capped = sh0.join(hot, Seq("s"), "left_anti")
-      val candidates = capped.select(col("doc_id").as("ia"), col("s"))
+      // ONE pass: the capped self-join directly yields per-pair
+      // intersection counts (no candidate materialization + re-join)
+      val common0 = capped.select(col("doc_id").as("ia"), col("s"))
         .join(capped.select(col("doc_id").as("ib"), col("s")), Seq("s"))
         .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      verifiedPairs(sh0, shingleCounts(dsh), candidates, 9, 10)
+        .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
+      val hotSh = sh0.join(hot, Seq("s"))
+      val hotCommon = common0.select("ia", "ib")
+        .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
+        .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+      val counts = shingleCounts(dsh)
+      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
+        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+        .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
+        .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
+        .withColumn("n_union", col("ca") + col("cb") - col("common"))
+        .filter(col("common") * 10 >= col("n_union") * 9)
+        .select(col("ia"), col("ib"), col("common"), col("n_union"))
+        .orderBy("ia", "ib")
     },
     "dedup_minhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -302,8 +324,8 @@ object TrainingOps {
     "dedup_simhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
-      // 4 independent 64-bit simhashes in one token pass (one base hash per
-      // shingle, mixed per signature), sliced into 16 bands of 16 bits
+      // 9 independent 64-bit simhashes in one token pass (one base hash per
+      // shingle, mixed per signature), sliced into 36 bands of 16 bits
       val sig = dsh.select(col("doc_id"),
         simhash_multi(col("sh"), SimHashSigs).as("sigs"))
       val bandsPerSig = 64 / SimHashBandBits
@@ -315,10 +337,10 @@ object TrainingOps {
                 slot * SimHashBandBits)
                 .bitwiseAND(lit(0xFFFFL)).as("key")))))).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      // one-sided multi-probe: the probe side emits key ^ mask for all 137
-      // masks of Hamming weight <= 2, so the equi-join catches every pair
-      // whose band keys differ in <= 2 bits (see SimHashSigs doc for the
-      // recall budget); the exact side stays 16 rows/doc
+      // one-sided multi-probe: the probe side emits key ^ mask for all 17
+      // masks of Hamming weight <= 1, so the equi-join catches every pair
+      // whose band keys differ in <= 1 bit (see SimHashSigs doc for the
+      // recall budget); the exact side stays 36 rows/doc
       val masks = array(SimHashProbeMasks.map(m => lit(m)): _*)
       val probed = banded.select(col("doc_id"), col("band"),
         explode(transform(masks, m => col("key").bitwiseXOR(m))).as("key"))

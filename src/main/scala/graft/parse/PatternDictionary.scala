@@ -52,8 +52,15 @@ object PatternDictionary {
   def isFortinet(text: Column): Column =
     text.startsWith("<") && text.rlike("^<\\d+>date=")
 
+  /** Necessary-but-cheap gate for the RFC5424 regex: every 5424 line
+    * contains ">1 " (pri close + version); one byte scan skips the regex
+    * for the RFC3164 majority.
+    */
+  private def maybe5424(text: Column): Column =
+    text.contains(">1 ") && regexp_groups(text, Syslog5424Re).isNotNull
+
   def isSyslog(text: Column): Column =
-    text.startsWith("<") && (regexp_groups(text, Syslog5424Re).isNotNull ||
+    text.startsWith("<") && (maybe5424(text) ||
       regexp_groups(text, SyslogRe).isNotNull)
 
   def isCombined(text: Column): Column =
@@ -181,7 +188,9 @@ object PatternDictionary {
     * bare scalars.)
     */
   private def withMessageBody(base: Column, msg: Column): Column = {
-    val json = from_json(msg, FlatMapType)
+    // startsWith gate: only a {...} body can be a JSON object, and the
+    // gate spares the (expensive) from_json on every plain-text message
+    val json = when(msg.startsWith("{"), from_json(msg, FlatMapType))
     when(json.isNotNull, mergeMaps(base, json))
       .otherwise(mergeMaps(base, map(lit("+message"), msg)))
   }
@@ -242,7 +251,7 @@ object PatternDictionary {
     * (syslog_loose never fails; an unrecognized line is all-message).
     */
   def syslogMap(text: Column, defaultYear: Column, runTsMillis: Long): Column =
-    when(regexp_groups(text, Syslog5424Re).isNotNull,
+    when(maybe5424(text),
       syslog5424Map(text, runTsMillis))
       .when(regexp_groups(text, SyslogRe).isNotNull,
         syslog3164Map(text, defaultYear, runTsMillis))

@@ -229,8 +229,28 @@ object PipelineQueries {
       val t = Transcripts.transcripts(s, dir)
       val routed = Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
       Router.sinkAggregates(routed).orderBy("sink", "format")
+    },
+    // Structured Streaming driver gate: the SAME transform as a file-source
+    // stream, watermarked hourly windows, run to completion synchronously —
+    // the final table must equal the batch groupBy the oracle computes
+    // (streaming was ScalaTest-only in round 1)
+    "pipe_stream_counts" -> { (s, dir) =>
+      reg(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      Transcripts.transcripts(s, dir).coalesce(4)
+        .write.mode("overwrite").parquet(tmp)
+      val name = s"stream_counts_${streamQueryN.incrementAndGet()}"
+      // the memory-sink table is materialized before returning, so the
+      // staged input files can be dropped immediately
+      val out = graft.streaming.StreamingPipeline
+        .runWindowedOnce(s, tmp, e2eConfig, name)
+        .orderBy("w_start", "sink")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      out
     }
   )
+
+  private val streamQueryN = new java.util.concurrent.atomic.AtomicLong(0)
 
   // ---- DuckDB oracle SQL: expected outputs computed directly from the
   // base events columns (never by re-parsing the text) ----
@@ -388,6 +408,10 @@ object PipelineQueries {
           min(turn) AS min_turn, max(turn) AS max_turn
           FROM (SELECT $sinkSql AS sink, $formatSql AS format, user_id AS conv,
                 event_id AS turn FROM events)
-          GROUP BY sink, format ORDER BY sink, format"""
+          GROUP BY sink, format ORDER BY sink, format""",
+    "pipe_stream_counts" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, $sinkSql AS sink,
+          count(*) AS n
+          FROM events GROUP BY 1, 2 ORDER BY w_start, sink"""
   )
 }
