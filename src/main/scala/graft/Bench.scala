@@ -35,7 +35,7 @@ object Bench {
     * and generation-in-the-loop was the noisiest part of the measurement.
     */
   private def pipelineTput(spark: SparkSession, inputPath: String, n: Long,
-      nTrials: Int = 4): Double = {
+      nTrials: Int = 4, warmups: Int = 3): Double = {
     val cfg = PipelineQueries.e2eConfig
     val routed = Pipeline.transform(spark.read.parquet(inputPath), cfg,
       Enrich.defaultLookup(spark))
@@ -44,7 +44,9 @@ object Bench {
       routed.write.format("noop").mode("overwrite").save()
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    force(); force(); force() // warm (codegen + tiered JIT need multiple passes)
+    // warm (codegen + tiered JIT need multiple passes; JIT state is
+    // JVM-wide, so later same-JVM sessions can skip most of it)
+    (1 to warmups).foreach(_ => force())
     val trials = (1 to nTrials).map(_ => force())
     System.err.println(s"[bench] tput trials @${spark.sparkContext.master}: " +
       trials.map(_.round).mkString(", "))
@@ -77,18 +79,31 @@ object Bench {
     // N vs 4N in the UNSATURATED regime (2 vs 8 cores): one VM has one
     // memory system, so beyond ~8-16 local threads per-core throughput is
     // capped by allocation bandwidth, not the engine (see BENCH/BASELINE.md)
-    // quarter-size input for the scaling pair keeps the 2-core runs short
+    // quarter-size input for the scaling pair keeps the 2-core runs short.
+    // Trials INTERLEAVE the two levels (8,2,8,2,...) so an ambient
+    // noisy-neighbor window degrades both levels instead of silently
+    // cratering whichever level it lands on (best-of per level after).
     val scaleTurns = math.max(500000L, benchTurns / 8)
     val scalePath = inputPath + "_scale"
-    def tputAt(c: Int): Double = {
+    locally {
+      val s = session(8)
+      TranscriptGen.transcripts(s, scaleTurns).write.parquet(scalePath)
+      s.stop()
+    }
+    def trialAt(c: Int, warm: Boolean): Double = {
       val s = session(c)
-      if (!new java.io.File(scalePath).exists())
-        TranscriptGen.transcripts(s, scaleTurns).write.parquet(scalePath)
-      val t = pipelineTput(s, scalePath, scaleTurns, nTrials = 6)
+      val t = pipelineTput(s, scalePath, scaleTurns,
+        nTrials = 2, warmups = if (warm) 3 else 1)
       s.stop(); t
     }
-    val tput8 = tputAt(8)
-    val tput2 = tputAt(2)
+    val trials8 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val trials2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 3).foreach { round =>
+      trials8 += trialAt(8, warm = round == 1)
+      trials2 += trialAt(2, warm = round == 1)
+    }
+    val tput8 = trials8.max
+    val tput2 = trials2.max
     val eff = (tput8 / tput2) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -91,17 +91,25 @@ object ScaleBench {
       .write.parquet(s"$root/input")
     gen.stop()
 
-    // best of 4 full runs per level (the sandbox VM has noisy neighbors;
-    // a single run under- or over-states either level by up to 2x)
-    def best(cpus: Int): Double = (1 to 4).map(i =>
-      runOnce(cpus, s"$root/input", s"$root/out-$cpus-$i", turns)).max
-    val tputSmall = best(nSmall)
-    val tputBig = best(nBig)
+    // best of 4 full runs per level, INTERLEAVED (small, big, small, big,
+    // ...) so an ambient noisy-neighbor window degrades both levels
+    // instead of silently cratering whichever one it lands on — a single
+    // contiguous block per level under- or over-states that level by up
+    // to 2x on this VM
+    val bySmall = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val byBig = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 4).foreach { i =>
+      bySmall += runOnce(nSmall, s"$root/input", s"$root/out-$nSmall-$i", turns)
+      byBig += runOnce(nBig, s"$root/input", s"$root/out-$nBig-$i", turns)
+    }
+    val tputSmall = bySmall.max
+    val tputBig = byBig.max
     val eff = (tputBig / tputSmall) / (nBig.toDouble / nSmall)
 
     // saturation probe: the same job at all 32 local threads, to document
     // where the single-VM memory system caps out
-    val tput32 = if (nBig < 32) best(32) else tputBig
+    val tput32 = if (nBig < 32) (1 to 4).map(i =>
+      runOnce(32, s"$root/input", s"$root/out-32-$i", turns)).max else tputBig
 
     val md =
       s"""# BENCH/BASELINE.md — N vs 4N scaling evidence
@@ -114,7 +122,9 @@ object ScaleBench {
          |scaled with cores, tmpfs IO (the sandbox's lone virtio disk
          |throttles after a burst — it would measure the disk's token
          |bucket, not the engine; a real cluster's sink/shuffle bandwidth
-         |scales with executors). Best of 4 runs per level.
+         |scales with executors). Best of 4 runs per level, trials
+         |INTERLEAVED across levels so an ambient noise window cannot
+         |silently crater one level.
          |
          || level | cores | turns/sec |
          ||---|---|---|

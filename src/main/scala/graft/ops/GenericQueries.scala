@@ -157,6 +157,17 @@ object GenericQueries {
           countDistinct(col("l_suppkey")).as("n_supp"))
         .orderBy("l_returnflag")
     },
+    // cube (all grouping-set combinations; rollup's big sibling)
+    "q_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_floor"))
+        .orderBy("status", "priority")
+    },
     // pivot with an EXPLICIT value list (omitting it costs an extra
     // distinct-collect pass over the fact table — never at 100 TB)
     "q_pivot" -> { (s, dir) =>
@@ -277,6 +288,12 @@ object GenericQueries {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+         coalesce(o_orderpriority, '(all)') AS priority, count(*) AS n,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,

@@ -214,9 +214,16 @@ object TrainingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "text_tokens" -> { (s, dir) =>
+      // n_bpe: BPE-ish subword segmentation by regex (letter runs, digit
+      // runs, punctuation runs, each with optional leading space — the
+      // lookahead-free core of the GPT-2 pretokenizer, expressible in both
+      // engines' regex dialects)
+      val bpe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
       docs(s, dir).select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpe), lit(0)))
+          .cast("long").as("n_bpe"),
         length(col("text")).cast("long").as("n_chars_len")
       ).orderBy("doc_id")
     },
@@ -460,6 +467,8 @@ object TrainingOps {
   def oracleSql: Map[String, String] = Map(
     "text_tokens" ->
       s"""SELECT doc_id, len($tokSql) AS n_tokens,
+          len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))
+            AS n_bpe,
           CAST(length(text) AS BIGINT) AS n_chars_len
           FROM documents ORDER BY doc_id""",
     "text_quality" ->

@@ -237,7 +237,10 @@ object PipelineQueries {
     "pipe_stream_counts" -> { (s, dir) =>
       reg(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      Transcripts.transcripts(s, dir).coalesce(4)
+      // deterministic 1/10 subset: the gate checks stream==batch equality,
+      // not volume, and staging + streaming the full table tripled the cost
+      Transcripts.transcripts(s, dir)
+        .filter(pmod(col("turn_idx"), lit(10)) === 0).coalesce(4)
         .write.mode("overwrite").parquet(tmp)
       val name = s"stream_counts_${streamQueryN.incrementAndGet()}"
       // the memory-sink table is materialized before returning, so the
@@ -412,6 +415,7 @@ object PipelineQueries {
     "pipe_stream_counts" ->
       s"""SELECT date_trunc('hour', ts) AS w_start, $sinkSql AS sink,
           count(*) AS n
-          FROM events GROUP BY 1, 2 ORDER BY w_start, sink"""
+          FROM events WHERE event_id % 10 = 0
+          GROUP BY 1, 2 ORDER BY w_start, sink"""
   )
 }
