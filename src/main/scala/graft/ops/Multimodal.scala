@@ -80,6 +80,25 @@ object Multimodal {
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"), col("sample_rate"))
         .orderBy("doc_id")
+    },
+    // frame-sample + resize plumbing: every ceil(n_frames/4)-th frame index
+    // exploded to a row (<= 4 sampled frames per media item), with
+    // letterbox-resize target dims (width -> 224, height scaled by integer
+    // math). The decode is the same per-partition stub; the SAMPLING and
+    // RESIZE arithmetic — the part that shapes shuffle volume at 100 TB —
+    // is real, typed, and oracle-checked.
+    "media_frames" -> { (s, dir) =>
+      val meta = decodeMeta(mediaTable(s, dir)).toDF()
+      // integer-only math throughout (floor-div), mirrored in the oracle
+      val step = floor((col("n_frames") + 3) / 4).cast("int")
+      meta
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          explode(sequence(lit(0), col("n_frames") - 1, step)).as("frame_idx"))
+        .select(col("doc_id"), col("kind"), col("frame_idx"),
+          when(col("width") > 0, lit(224)).otherwise(lit(0)).as("out_w"),
+          when(col("width") > 0, floor(col("height") * 224 / col("width")))
+            .otherwise(lit(0)).cast("int").as("out_h"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -98,6 +117,24 @@ object Multimodal {
               WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 100 + 1
               ELSE octet_length(encode(text)) // 50 + 1 END AS INT) AS n_frames,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "media_frames" ->
+      """WITH meta AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CASE WHEN doc_id % 3 = 1 THEN 0
+                  ELSE 64 + octet_length(encode(text)) % 512 END AS width,
+             CASE WHEN doc_id % 3 = 1 THEN 0
+                  ELSE 64 + octet_length(encode(text)) % 384 END AS height,
+             CASE WHEN doc_id % 3 = 0 THEN 1
+                  WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 100 + 1
+                  ELSE octet_length(encode(text)) // 50 + 1 END AS n_frames
+           FROM documents)
+         SELECT doc_id, kind,
+           CAST(unnest(range(0, n_frames, (n_frames + 3) // 4)) AS INT) AS frame_idx,
+           CAST(CASE WHEN width > 0 THEN 224 ELSE 0 END AS INT) AS out_w,
+           CAST(CASE WHEN width > 0 THEN (height * 224) // width ELSE 0 END AS INT) AS out_h
+         FROM meta ORDER BY doc_id, frame_idx"""
   )
 }

@@ -259,6 +259,27 @@ object TrainingOps {
         fingerprint64(concat_ws(" ", tokens(col("text")))).as("fp_norm")
       ).orderBy("doc_id")
     },
+    // decontamination: flag training docs sharing n-grams with a
+    // benchmark/eval set (here: the deterministic doc_id % 97 == 0 subset
+    // stands in for the eval corpus). Scale shape: the benchmark shingle
+    // set is tiny relative to the corpus — the membership join broadcasts
+    // it, so the sweep is one linear pass over training shingles, the
+    // textbook decontamination plan at 10^9 docs.
+    "text_decontaminate" -> { (s, dir) =>
+      val dsh = docShingles(s, dir)
+      val ex = explodedIndex(dsh)
+      val bench = ex.filter(col("doc_id") % 97 === 0).select("s").distinct()
+      val hits = ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit")) // shingles distinct per doc
+      dsh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_hit"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -490,6 +511,20 @@ object TrainingOps {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY text_md5 ORDER BY keep_id""",
+    "text_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                 FROM tok),
+          bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          hits AS (SELECT doc_id, count(*) AS n_hit
+                   FROM sh JOIN bench USING (s)
+                   WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_hit, 0) AS n_contaminated,
+                 coalesce(n_hit, 0) >= 3 AS contaminated
+          FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "dedup_ngram" -> jaccardPairsSql,
     // MinHash/SimHash candidates + exact-Jaccard verification converge to
     // the exact pair set at J>=0.9 (banding miss probability < 1e-7 at
