@@ -96,9 +96,11 @@ object Bench {
         nTrials = 2, warmups = if (warm) 3 else 1)
       s.stop(); t
     }
+    // 5 rounds ~ 2.5 min: the per-level max needs only ONE quiet moment
+    // per level, and ambient noise windows on this VM last ~30-90 s
     val trials8 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val trials2 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 3).foreach { round =>
+    (1 to 5).foreach { round =>
       trials8 += trialAt(8, warm = round == 1)
       trials2 += trialAt(2, warm = round == 1)
     }
