@@ -375,16 +375,18 @@ object TrainingOps {
       val candidates = banded.as("x").join(probed.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
-      // Hamming prefilter over all 256 signature bits before the
-      // exact-Jaccard join (cutoff budget in the SimHashSigs doc)
+        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      // Hamming prefilter over all 576 signature bits BEFORE the distinct
+      // (cutoff budget in the SimHashSigs doc): the prefilter rejects
+      // ~99.8% of band collisions, so deduplicating the survivors is free,
+      // while distinct-first shuffled the full collision set
       val prefiltered = candidates
         .join(sig.select(col("doc_id").as("ia"), col("sigs").as("sa")), "ia")
         .join(sig.select(col("doc_id").as("ib"), col("sigs").as("sb")), "ib")
         .filter(aggregate(
           zip_with(col("sa"), col("sb"), (a, b) => bit_count(a.bitwiseXOR(b))),
           lit(0), (acc, x) => acc + x) <= SimHashHammingMax)
-        .select("ia", "ib")
+        .select("ia", "ib").distinct()
       verifiedPairs(explodedIndex(dsh), shingleCounts(dsh), prefiltered, 9, 10)
     },
     "dedup_embed" -> { (s, dir) =>
