@@ -187,7 +187,10 @@ object TrainingOps {
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cv"))
-    val cents = update(assign(update(assign(centroids0))))
+    // persist the centroid table (O(cells·dim) rows): it feeds the final
+    // assignment AND the query-side probe ranking, and without the cache
+    // each consumer re-executes the whole Lloyd chain
+    val cents = update(assign(update(assign(centroids0)))).persist()
     val assigned = assign(cents)
 
     // probe: rank cells per query, keep the `probes` nearest
