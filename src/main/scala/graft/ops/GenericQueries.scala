@@ -191,6 +191,31 @@ object GenericQueries {
           posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
         .orderBy("p_partkey", "pos")
     },
+    // as-of join: attach each event's most recent PRIOR click by the same
+    // user. Spark expresses it as a running window over the partitioned
+    // sort (the scale shape: one shuffle on user_id, no self-join); the
+    // oracle recomputes it with DuckDB's native ASOF JOIN — a genuinely
+    // different algorithm agreeing on the same semantics.
+    "q_asof" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("prev_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("prev_click_id"))
+        .orderBy("user_id", "event_id")
+    },
+    // deterministic content-hash train/val split (every training pipeline
+    // needs one that is reproducible across engines and runs): md5 of the
+    // text, first hex digit < 'c' => train (~75%)
+    "q_split" -> { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(substring(md5(col("text").cast("binary")), 1, 1) < "c", "train")
+            .otherwise("val").as("split"))
+        .orderBy("doc_id")
+    },
     // approximate distinct (HyperLogLog) vs exact, compared with INTEGER
     // threshold math: both engines' sketches differ, so the oracle-checked
     // value is the exact count plus a "within 5%" flag that both satisfy
@@ -307,6 +332,16 @@ object GenericQueries {
          CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
          unnest(string_split(p_name, ' ')) AS word
          FROM part ORDER BY p_partkey, pos""",
+    "q_asof" ->
+      """SELECT e.user_id, e.event_id, c.event_id AS prev_click_id
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, event_id FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.event_id > c.event_id
+         ORDER BY e.user_id, e.event_id""",
+    "q_split" ->
+      """SELECT doc_id,
+         CASE WHEN substring(md5(text), 1, 1) < 'c' THEN 'train' ELSE 'val' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
          abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 20
