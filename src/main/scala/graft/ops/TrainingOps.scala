@@ -214,6 +214,46 @@ object TrainingOps {
       .orderBy("qid", "rank")
   }
 
+  /** n-gram Jaccard dedup with the stop-shingle cap. The cap keeps the
+    * inverted-index join linear-ish at scale, but applies ONLY to
+    * candidate/intersection generation — the final Jaccard is made exact
+    * again by adding back each candidate pair's hot-shingle intersections
+    * (an EMPTY join whenever the cap never binds; max df in the testdata
+    * is 25 at sf0.1) and taking per-doc counts from the uncapped arrays,
+    * so the query always agrees with the uncapped oracle (round 1 deflated
+    * the numerator only). The one recall exception stays: a true pair
+    * sharing ONLY hot shingles never becomes a candidate. `cap` is a
+    * parameter so DedupSpec can pin the binding-cap path that the driver
+    * data never exercises.
+    */
+  def dedupNgram(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    val dsh = docShingles(s, dir)
+    val sh0 = explodedIndex(dsh)
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("s")
+    val capped = sh0.join(hot, Seq("s"), "left_anti")
+    // ONE pass: the capped self-join directly yields per-pair
+    // intersection counts (no candidate materialization + re-join)
+    val common0 = capped.select(col("doc_id").as("ia"), col("s"))
+      .join(capped.select(col("doc_id").as("ib"), col("s")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
+    val hotSh = sh0.join(hot, Seq("s"))
+    val hotCommon = common0.select("ia", "ib")
+      .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
+      .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+    val counts = shingleCounts(dsh)
+    common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
+      .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+      .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
+      .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
+      .withColumn("n_union", col("ca") + col("cb") - col("common"))
+      .filter(col("common") * 10 >= col("n_union") * 9)
+      .select(col("ia"), col("ib"), col("common"), col("n_union"))
+      .orderBy("ia", "ib")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "text_tokens" -> { (s, dir) =>
@@ -292,42 +332,7 @@ object TrainingOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")
     },
-    "dedup_ngram" -> { (s, dir) =>
-      val dsh = docShingles(s, dir)
-      val sh0 = explodedIndex(dsh)
-      // stop-shingle cap: keeps the inverted-index join linear-ish at
-      // scale, but ONLY for candidate/intersection generation — the final
-      // Jaccard is made exact again by adding back each candidate pair's
-      // hot-shingle intersections (an EMPTY join whenever the cap never
-      // binds; max df in the testdata is 25 at sf0.1) and taking per-doc
-      // counts from the uncapped arrays, so the query always agrees with
-      // the uncapped oracle (round 1 deflated the numerator only). The one
-      // recall exception stays: a true pair sharing ONLY hot shingles
-      // never becomes a candidate.
-      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > ShingleFreqCap).select("s")
-      val capped = sh0.join(hot, Seq("s"), "left_anti")
-      // ONE pass: the capped self-join directly yields per-pair
-      // intersection counts (no candidate materialization + re-join)
-      val common0 = capped.select(col("doc_id").as("ia"), col("s"))
-        .join(capped.select(col("doc_id").as("ib"), col("s")), Seq("s"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
-      val hotSh = sh0.join(hot, Seq("s"))
-      val hotCommon = common0.select("ia", "ib")
-        .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
-        .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
-      val counts = shingleCounts(dsh)
-      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
-        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
-        .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
-        .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
-        .withColumn("n_union", col("ca") + col("cb") - col("common"))
-        .filter(col("common") * 10 >= col("n_union") * 9)
-        .select(col("ia"), col("ib"), col("common"), col("n_union"))
-        .orderBy("ia", "ib")
-    },
+    "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir, ShingleFreqCap) },
     "dedup_minhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
