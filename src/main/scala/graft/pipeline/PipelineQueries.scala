@@ -230,6 +230,23 @@ object PipelineQueries {
       val routed = Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
       Router.sinkAggregates(routed).orderBy("sink", "format")
     },
+    // conversation-level fingerprint via the custom typed AGGREGATOR
+    // (partial-mergeable SimHash votes — no group ever materializes its
+    // token multiset). Rows-only driver check (custom hash kernel);
+    // equality with the collect_list+simhash64 expression path and
+    // determinism are pinned by AggSpec.
+    "pipe_conv_fingerprint" -> { (s, dir) =>
+      reg(s)
+      import s.implicits._
+      Transcripts.transcripts(s, dir)
+        .select(col("conv_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .as[(String, Seq[String])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.SimHashAgg.toColumn.name("fp"))
+        .toDF("conv_id", "fp")
+        .orderBy("conv_id")
+    },
     // Structured Streaming driver gate: the SAME transform as a file-source
     // stream, watermarked hourly windows, run to completion synchronously —
     // the final table must equal the batch groupBy the oracle computes
