@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for this 125 GiB box: the round driver runs Bench/Verify
+  // without SPARK_DRIVER_MEM, and an 8g heap GC-binds 32-thread runs (the
+  // round-2 artifact under-reported throughput ~1.6x because of it).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // batch-throughput GC: the parse stage allocates heavily (maps/strings);
   // ParallelGC beats G1 for short-lived garbage at local[32]
   "-XX:+UseParallelGC",

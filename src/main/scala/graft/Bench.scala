@@ -27,6 +27,16 @@ object Bench {
     s
   }
 
+  /** Stop a session with logging forced OFF first: executor/RPC teardown
+    * races otherwise spray a benign truncated stack trace into the bench
+    * artifact's tail (the driver parses the one JSON line, but the noise
+    * pollutes BENCH_r*.json for every reader).
+    */
+  private def quietStop(s: SparkSession): Unit = {
+    s.sparkContext.setLogLevel("OFF")
+    s.stop()
+  }
+
   /** turns/sec of scan -> parse -> enrich -> route at `cpus`, forced
     * through the noop sink (count() would let Catalyst prune the whole
     * parse stage away — every column must be materialized to measure
@@ -74,7 +84,8 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    spark.stop()
+    if (!tputOnly) graft.ops.TrainingOps.releaseCaches(spark, sfDir)
+    quietStop(spark)
 
     // N vs 4N in the UNSATURATED regime (2 vs 8 cores): one VM has one
     // memory system, so beyond ~8-16 local threads per-core throughput is
@@ -88,13 +99,13 @@ object Bench {
     locally {
       val s = session(8)
       TranscriptGen.transcripts(s, scaleTurns).write.parquet(scalePath)
-      s.stop()
+      quietStop(s)
     }
     def trialAt(c: Int, warm: Boolean): Double = {
       val s = session(c)
       val t = pipelineTput(s, scalePath, scaleTurns,
         nTrials = 2, warmups = if (warm) 3 else 1)
-      s.stop(); t
+      quietStop(s); t
     }
     // 5 rounds ~ 2.5 min: the per-level max needs only ONE quiet moment
     // per level, and ambient noise windows on this VM last ~30-90 s

@@ -22,6 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the dedup queries share one session-scoped shingle cache — release
+    // it once the suite is done (no MEMORY_AND_DISK entry outlives Verify)
+    graft.ops.TrainingOps.releaseCaches(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -42,6 +42,20 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Int])),
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
+    "merge_maps" -> ((exprs: Seq[Expression]) => MergeMaps(exprs(0), exprs(1))),
+    // centroid table arrives as a foldable array<array<float>> literal and
+    // is baked into the expression at build time
+    "nearest_cell" -> ((exprs: Seq[Expression]) => {
+      val ad = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val cents = Array.tabulate(ad.numElements()) { i =>
+        if (ad.isNullAt(i)) null
+        else {
+          val inner = ad.getArray(i)
+          Array.tabulate(inner.numElements())(j => inner.getFloat(j))
+        }
+      }
+      NearestCell(exprs(0), cents)
+    }),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -117,12 +131,19 @@ object GraftFunctions {
 
   /** Merge map `upper` into `lower`, upper winning on key collision — the
     * reference's serde_json insert-overwrite, made safe against Spark's
-    * default DUPLICATED_MAP_KEY map_concat exception.
+    * default DUPLICATED_MAP_KEY map_concat exception. Native codegen'd
+    * expression (the earlier map_filter composition was CodegenFallback
+    * and ran interpreted on the hot syslog path).
     */
-  def merge_maps(lower: Column, upper: Column): Column = {
-    import org.apache.spark.sql.functions.{map_concat, map_contains_key, map_filter}
-    map_concat(map_filter(lower, (k, _) => !map_contains_key(upper, k)), upper)
-  }
+  def merge_maps(lower: Column, upper: Column): Column =
+    call_function("merge_maps", lower, upper)
+
+  /** Nearest-centroid index (max cosine, ties low) against a driver-side
+    * centroid table (empty/null slots = dead cells, skipped).
+    */
+  def nearest_cell(vec: Column, cents: Seq[Seq[Float]]): Column =
+    call_function("nearest_cell", vec,
+      org.apache.spark.sql.functions.typedlit(cents))
 
   /** One-shot regex match returning all capture groups (null = no match). */
   def regexp_groups(c: Column, pattern: String): Column =

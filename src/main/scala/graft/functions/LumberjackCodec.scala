@@ -104,31 +104,44 @@ object LumberjackCodec {
   def encode(payloads: ArrayData): Array[Byte] = {
     val inner = new java.io.ByteArrayOutputStream()
     val n = payloads.numElements()
+    var emitted = 0
     var i = 0
     while (i < n) {
-      val p = payloads.getUTF8String(i).getBytes
-      inner.write(Version); inner.write(CodeJson)
-      writeU32(inner, i + 1); writeU32(inner, p.length)
-      inner.write(p, 0, p.length)
+      // skip null slots (array<string> may carry containsNull=true):
+      // sequence numbers stay contiguous 1..emitted, matching a Beats
+      // client that simply has nothing to send for that slot
+      if (!payloads.isNullAt(i)) {
+        val p = payloads.getUTF8String(i).getBytes
+        emitted += 1
+        inner.write(Version); inner.write(CodeJson)
+        writeU32(inner, emitted); writeU32(inner, p.length)
+        inner.write(p, 0, p.length)
+      }
       i += 1
     }
     val raw = inner.toByteArray
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
     val zipped = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!deflater.finished()) {
-      val k = deflater.deflate(buf)
-      zipped.write(buf, 0, k)
-    }
-    deflater.end()
+    try {
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) {
+        val k = deflater.deflate(buf)
+        zipped.write(buf, 0, k)
+      }
+    } finally deflater.end()
     val z = zipped.toByteArray
     val out = new java.io.ByteArrayOutputStream(z.length + 12)
-    out.write(Version); out.write(CodeWindow); writeU32(out, n)
+    out.write(Version); out.write(CodeWindow); writeU32(out, emitted)
     out.write(Version); out.write(CodeCompressed); writeU32(out, z.length)
     out.write(z, 0, z.length)
     out.toByteArray
   }
+
+  /** Inflated-size ceiling: a frame claiming to decompress beyond this is
+    * treated as malformed (zip-bomb guard) rather than OOMing the task.
+    */
+  private final val MaxInflatedBytes: Int = 256 << 20
 
   /** null on any malformed input (truncated header, bad zlib, truncated
     * event block) — the batch form of warn+drop.
@@ -140,15 +153,20 @@ object LumberjackCodec {
       val zLen = readU32(frame, 8).toInt
       if (zLen < 0 || 12 + zLen > frame.length) return null
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(frame, 12, zLen)
-      val out = new java.io.ByteArrayOutputStream(zLen * 4)
-      val buf = new Array[Byte](4096)
-      while (!inflater.finished()) {
-        val k = inflater.inflate(buf)
-        if (k == 0 && inflater.needsInput()) return null // truncated stream
-        out.write(buf, 0, k)
-      }
-      inflater.end()
+      val out = new java.io.ByteArrayOutputStream(math.min(zLen * 4, 1 << 20))
+      try {
+        inflater.setInput(frame, 12, zLen)
+        val buf = new Array[Byte](4096)
+        while (!inflater.finished()) {
+          val k = inflater.inflate(buf)
+          // bail on ANY stuck non-finished state (truncated stream,
+          // FDICT/needsDictionary, or an otherwise wedged inflater) —
+          // never spin inside the task on crafted bytes
+          if (k == 0 && !inflater.finished()) return null
+          out.write(buf, 0, k)
+          if (out.size() > MaxInflatedBytes) return null // zip-bomb guard
+        }
+      } finally inflater.end()
       val raw = out.toByteArray
       val events = scala.collection.mutable.ArrayBuffer.empty[Any]
       var off = 0

@@ -63,6 +63,84 @@ object CosineSim {
   }
 }
 
+/** Index of the nearest centroid (max cosine, ties to the lowest index) of
+  * a float vector against a small centroid table baked into the expression —
+  * the IVF assignment step as ONE codegen'd per-row argmin.
+  *
+  * This replaces a crossJoin(broadcast(centroids)) + groupBy(id) min_by
+  * plan: that shape explodes every row `cells`-fold and then SHUFFLES the
+  * exploded rows (carrying full vectors) to re-reduce them — per Lloyd
+  * iteration. At 10^9 vectors that is a cluster-wide shuffle of the corpus;
+  * this expression is zero-shuffle, zero-blowup, and keeps the scan inside
+  * WholeStageCodegen. The centroid table is O(cells·dim) driver metadata —
+  * the same class as the manifest.
+  *
+  * Cosine arithmetic replicates CosineSim.cosine exactly (sequential
+  * left-to-right double accumulation) so assignments are bit-identical to
+  * the join-based plan it replaced. Empty slots (a cell that lost all its
+  * members) are skipped, matching the old plan where such a cell simply had
+  * no row to join.
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires array<float>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCell.nearest(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NearestCell.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCell {
+  def nearest(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv != null && cv.length > 0) {
+        val dist = -cosineArr(v, cv)
+        if (dist < bestDist) { bestDist = dist; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** CosineSim.cosine with a float[] second operand — same op order. */
+  private def cosineArr(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
 /** 64-bit polynomial rolling hash of a string (h = h*31 + codepoint,
   * wrapping) — the document fingerprinting primitive (stable across
   * runs/engines/partitions, unlike Spark's Murmur `hash` which is

@@ -24,11 +24,69 @@ object Multimodal {
       doc_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, sample_rate: Int)
 
-  /** ======================= STUB ==========================
-    * Deterministic fake decoder. A real implementation would parse the
-    * container format (JPEG SOF / WAV header / MP4 moov) here; the fake
-    * derives plausible metadata from byte length alone so tests and
-    * oracles stay exact. One instance per partition (see decodeMeta) —
+  /** Minimal-but-REAL JPEG container handling, pure JVM byte scanning (no
+    * codec library): [[wrap]] builds SOI + a well-formed SOF0 segment
+    * carrying the dimensions + the raw bytes as stand-in entropy data +
+    * EOI; [[sofDims]] walks the marker segments and reads height/width
+    * from the first SOF0/1/2 — i.e. the image branch of the decoder
+    * parses an actual container header rather than inventing metadata.
+    */
+  object Jpeg {
+    /** SOI(2) + SOF0 segment(19) + EOI(2). */
+    val Overhead = 23
+
+    /** Deterministic dims embedded at synthesis time (same formulas the
+      * pre-JPEG stub derived from length, so oracles stay closed-form).
+      */
+    def dimsFor(n: Int): (Int, Int) = (64 + n % 512, 64 + n % 384)
+
+    def wrap(data: Array[Byte]): Array[Byte] = {
+      val n = data.length
+      val (w, h) = dimsFor(n)
+      val out = new Array[Byte](n + Overhead)
+      out(0) = 0xFF.toByte; out(1) = 0xD8.toByte // SOI
+      val sof = Array( // SOF0: len 0x11, 8-bit precision, h, w, 3 comps
+        0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+        .map(_.toByte)
+      System.arraycopy(sof, 0, out, 2, sof.length)
+      System.arraycopy(data, 0, out, 2 + sof.length, n)
+      out(out.length - 2) = 0xFF.toByte; out(out.length - 1) = 0xD9.toByte
+      out
+    }
+
+    /** (width, height) from the first SOF0/1/2 segment; None when the
+      * bytes aren't a parseable JPEG (malformed → caller falls back).
+      */
+    def sofDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8)
+        return None
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xFF) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        if (marker == 0xDA || marker == 0xD9) return None // scan/EOI: no SOF
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i += 2
+        else {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** ================== PARTIAL STUB ======================
+    * Image payloads are synthetic JPEGs and the decoder REALLY parses the
+    * SOF header ([[Jpeg.sofDims]]); audio/video stay a deterministic fake
+    * (no wav/mp4 in the fixtures yet — swapping in a real codec changes
+    * only those branches). One instance per partition (see decodeMeta) —
     * real codecs are expensive to construct, so the per-partition
     * lifecycle is the part worth getting right now.
     */
@@ -36,9 +94,13 @@ object Multimodal {
     def decode(row: MediaRow): MediaMeta = {
       val n = row.payload.length.toLong
       row.kind match {
-        case "image" => MediaMeta(row.doc_id, row.kind, n,
-          width = (64 + n % 512).toInt, height = (64 + n % 384).toInt,
-          n_frames = 1, sample_rate = 0)
+        case "image" =>
+          // real header parse; length-formula fallback only for bytes
+          // that aren't a JPEG (the warn-don't-throw decode policy)
+          val (w, h) = Jpeg.sofDims(row.payload)
+            .getOrElse(((64 + n % 512).toInt, (64 + n % 384).toInt))
+          MediaMeta(row.doc_id, row.kind, n,
+            width = w, height = h, n_frames = 1, sample_rate = 0)
         case "audio" => MediaMeta(row.doc_id, row.kind, n,
           width = 0, height = 0, n_frames = (n / 100L).toInt + 1,
           sample_rate = 16000)
@@ -50,7 +112,9 @@ object Multimodal {
   }
 
   /** Synthesize the opaque media table deterministically from documents
-    * (payload = utf-8 bytes of the text; kind cycles by doc_id).
+    * (kind cycles by doc_id). Image payloads are REAL minimal JPEGs (the
+    * utf-8 text bytes wrapped in SOI/SOF0/EOI, dims embedded in the
+    * header); audio/video stay raw text bytes.
     */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -61,6 +125,8 @@ object Multimodal {
         .otherwise("video").as("kind"),
       encode(col("text"), "utf-8").as("payload")
     ).as[MediaRow]
+      .map(r =>
+        if (r.kind == "image") r.copy(payload = Jpeg.wrap(r.payload)) else r)
   }
 
   /** Partition-batched decode: decoder constructed once per partition,
@@ -103,12 +169,15 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // the stub decoder's formulas re-derived from octet_length in SQL
+    // the decoder's outputs re-derived from octet_length in SQL: image
+    // rows carry the 23-byte JPEG container (SOI+SOF0+EOI) whose embedded
+    // dims use the same closed-form length formulas the oracle computes
     "media_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text))
+              + CASE WHEN doc_id % 3 = 0 THEN 23 ELSE 0 END AS BIGINT) AS n_bytes,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0
               ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0

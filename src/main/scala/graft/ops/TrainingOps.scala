@@ -126,6 +126,15 @@ object TrainingOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Drop the session-scoped shingle cache (ONE MEMORY_AND_DISK entry
+    * shared by the dedup/decontamination queries). Verify/Bench call this
+    * after the query suite so a long-lived session doesn't keep holding the
+    * corpus; uncache matches by logical plan and is a no-op when nothing
+    * was cached.
+    */
+  def releaseCaches(s: SparkSession, dir: String): Unit =
+    docShingles(s, dir).unpersist()
+
   /** Exploded inverted index (doc_id, shingle) off the cached array frame. */
   private def explodedIndex(dsh: DataFrame): DataFrame =
     dsh.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -169,17 +178,26 @@ object TrainingOps {
     def centroids0: DataFrame = cand.orderBy("nid").limit(cells)
       .select((row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("nid"))) - 1).as("cell"), col("nv").as("cv"))
-    // assign every candidate to its nearest centroid (broadcast nested
-    // loop over `cells` rows — the big side never shuffles)
-    def assign(cents: DataFrame): DataFrame = cand
-      .crossJoin(broadcast(cents))
-      .select(col("nid"), col("nv"), col("cell"),
-        (-cosine_sim(col("nv"), col("cv"))).as("dist"))
-      .groupBy("nid")
-      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"),
-        any_value(col("nv")).as("nv"))
+    // materialize a centroid frame to a dense driver-side table indexed by
+    // cell id (O(cells·dim) — manifest-class metadata); dead cells (all
+    // members reassigned away) become empty slots the argmin skips
+    def centroidTable(cents: DataFrame): Seq[Seq[Float]] = {
+      val rows = cents.select(col("cell"), col("cv")).collect()
+      val slots = Array.fill[Seq[Float]](rows.map(_.getInt(0)).max + 1)(Seq.empty)
+      rows.foreach(r => slots(r.getInt(0)) = r.getSeq[Float](1))
+      slots.toSeq
+    }
+    // assign every candidate to its nearest centroid: the driver-side
+    // table is baked into ONE codegen'd argmin expression — zero shuffle,
+    // zero row blowup, bit-identical to the crossJoin+min_by plan it
+    // replaced (which exploded the corpus `cells`-fold and shuffled it,
+    // vectors and all, per Lloyd iteration)
+    def assignWith(slots: Seq[Seq[Float]]): DataFrame =
+      cand.select(col("nid"), col("nv"),
+        GraftFunctions.nearest_cell(col("nv"), slots).as("cell"))
     // Lloyd update: element-wise mean per cell, summed in DECIMAL so the
-    // result is independent of partitioning / aggregation order
+    // result is independent of partitioning / aggregation order; the
+    // exploded groupBy partial-aggregates to <= cells·dim rows map-side
     def update(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
@@ -187,16 +205,22 @@ object TrainingOps {
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cv"))
-    // persist the centroid table (O(cells·dim) rows): it feeds the final
-    // assignment AND the query-side probe ranking, and without the cache
-    // each consumer re-executes the whole Lloyd chain
-    val cents = update(assign(update(assign(centroids0)))).persist()
-    val assigned = assign(cents)
+    // 2 Lloyd iterations; each centroidTable() collect drives one linear
+    // codegen'd scan of the candidates (no cache entry left behind — the
+    // table itself is the reusable artifact)
+    val t1 = centroidTable(update(assignWith(centroidTable(centroids0))))
+    val t2 = centroidTable(update(assignWith(t1)))
+    val assigned = assignWith(t2)
 
-    // probe: rank cells per query, keep the `probes` nearest
+    // probe: rank cells per query against a LocalRelation of the same
+    // driver-side table (no Lloyd re-execution, nothing persisted)
+    import s.implicits._
+    val centsLocal = t2.zipWithIndex.collect { case (cv, i) if cv.nonEmpty =>
+      (i, cv) }.toDF("cell", "cv")
+      .select(col("cell"), col("cv").cast("array<float>").as("cv"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
-    val probedCells = q.crossJoin(broadcast(cents))
+    val probedCells = q.crossJoin(broadcast(centsLocal))
       .select(col("qid"), col("qv"), col("cell"),
         (-cosine_sim(col("qv"), col("cv"))).as("cdist"))
       .withColumn("crank", row_number().over(wCell))
@@ -443,12 +467,15 @@ object TrainingOps {
     "ann_rp_rerank" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val e = embs(s, dir)
-      // Approximate top-k for isotropic embeddings (no cluster structure,
-      // so bucket-LSH has no recall — measured on this corpus): coarse
-      // score every candidate in a 32-dim Rademacher projection (2x fewer
-      // flops + 2x less data if the projection is materialized), keep the
-      // top-150 per query, exact-rerank only those. Candidate depth is the
-      // recall knob. Bucket-LSH remains the near-dup path (dedup_embed).
+      // The PROJECTED-SPACE EXACT-SCAN BASELINE (not the approximate
+      // path — that is ann_ivf, whose probed-cell plan is sub-linear in
+      // scanned candidates): deliberately O(Q·N) like ann_brute, but each
+      // coarse score runs in a 32-dim Rademacher projection (2x fewer
+      // flops + 2x less data if the projection is materialized), then
+      // only the top-150 per query are exactly reranked. Candidate depth
+      // is the recall knob; bucket-LSH stays the near-dup path
+      // (dedup_embed). Kept as the second baseline that bounds what
+      // cell-probing can lose on this isotropic corpus.
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           rp_project(col("embedding"), 32, 7L).as("qp"))

@@ -139,7 +139,11 @@ object PatternDictionary {
     */
   def fortinetTransform(text: Column, defaultYear: Column, runTsMillis: Long): Column =
     when(instr(text, ">") > 0,
-      map_concat(fortinetKv(text),
+      // merge_maps (not map_concat): a line carrying a literal t= logfmt key
+      // must be overwritten by the stitched timestamp, not throw under
+      // Spark's default DUPLICATED_MAP_KEY policy (insert-overwrite,
+      // fortinet.rs:105)
+      mergeMaps(fortinetKv(text),
         map(lit("t"), fortinetT(text, runTsMillis).cast("string"))))
       .otherwise(syslogMap(text, defaultYear, runTsMillis))
 
@@ -198,6 +202,12 @@ object PatternDictionary {
   /** RFC3164 event map: header fields + named facility/severity + body
     * JSON-merge; missing/unparseable timestamp falls back to the run clock
     * (syslog.rs:31-35 `Utc::now()` → injected clock).
+    *
+    * KNOWING DEVIATION (the third, with the quoted-string body and logfmt
+    * collision rename): the reference emits `proc_id` as a JSON i64 when
+    * the value is numeric and a string otherwise (syslog.rs:55-64); the
+    * open-schema map here is map<string,string>, so proc_id is always a
+    * string. Numeric-typed filtering on proc_id must cast downstream.
     */
   def syslog3164Map(text: Column, defaultYear: Column, runTsMillis: Long): Column = {
     val pri = try_cast_long(g(text, SyslogRe, 1))
@@ -220,8 +230,14 @@ object PatternDictionary {
     */
   def syslog5424Map(text: Column, runTsMillis: Long): Column = {
     val pri = try_cast_long(g(text, Syslog5424Re, 1))
-    val ts = unix_millis(try_to_timestamp(nilToNull(g(text, Syslog5424Re, 2)),
-      lit("yyyy-MM-dd'T'HH:mm:ssX")))
+    // RFC5424 allows fractional seconds (TIME-SECFRAC, up to 6 digits) and
+    // the offset is Z or ±HH:MM; syslog_loose parses both. [.SSSSSS]
+    // accepts 0-6 fraction digits; X covers Z/+02/+0200 (loose inputs),
+    // XXX covers the RFC's ±HH:MM. Millis truncation matches unix_millis.
+    val tsRaw = nilToNull(g(text, Syslog5424Re, 2))
+    val ts = unix_millis(coalesce(
+      try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]X")),
+      try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))))
     val base = toMap(Seq(
       "t" -> coalesce(ts, lit(runTsMillis)),
       "facility" -> facilityName(pri),
@@ -333,7 +349,9 @@ object PatternDictionary {
       .when(isMini(text), "mini")
       .otherwise("malformed")
 
-    val fortinetMap = map_concat(
+    // merge_maps, not map_concat: stitched t overwrites a literal t= key
+    // instead of throwing (DUPLICATED_MAP_KEY) — see fortinetTransform
+    val fortinetMap = mergeMaps(
       fortinetKv(text),
       map(lit("t"), fortinetT(text, runTsMillis).cast("string")))
 

@@ -269,6 +269,31 @@ object PipelineQueries {
         .orderBy("w_start", "sink")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       out
+    },
+    // the arbitrary-stateful-streaming surface (mapGroupsWithState),
+    // driver-gated like pipe_stream_counts: run the per-conversation
+    // progress stream over staged files, reduce the Update-mode output to
+    // the final state per conversation, oracle = batch groupBy over events
+    "pipe_stream_progress" -> { (s, dir) =>
+      reg(s)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_stream").toString
+      // 16 staged files at maxFilesPerTrigger=8 -> 2 micro-batches, so the
+      // gate exercises CROSS-BATCH state accumulation, not just one pass
+      Transcripts.transcripts(s, dir)
+        .filter(pmod(col("turn_idx"), lit(10)) === 0).coalesce(16)
+        .write.mode("overwrite").parquet(tmp)
+      val name = s"stream_progress_${streamQueryN.incrementAndGet()}"
+      val mem = graft.streaming.StreamingPipeline
+        .runProgressOnce(s, tmp, e2eConfig, name)
+      // final state per conv = max over the per-batch cumulative rows
+      val out = mem.groupBy("conv_id")
+        .agg(max(col("turns")).as("turns"),
+          max(col("max_turn")).cast("long").as("max_turn"))
+        .orderBy("conv_id")
+      // the memory sink holds the rows; staged input can go immediately
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      out
     }
   )
 
@@ -435,6 +460,11 @@ object PipelineQueries {
       s"""SELECT date_trunc('hour', ts) AS w_start, $sinkSql AS sink,
           count(*) AS n
           FROM events WHERE event_id % 10 = 0
-          GROUP BY 1, 2 ORDER BY w_start, sink"""
+          GROUP BY 1, 2 ORDER BY w_start, sink""",
+    "pipe_stream_progress" ->
+      """SELECT 'conv-' || user_id AS conv_id, count(*) AS turns,
+         CAST(max(event_id) AS BIGINT) AS max_turn
+         FROM events WHERE event_id % 10 = 0
+         GROUP BY 1 ORDER BY conv_id"""
   )
 }

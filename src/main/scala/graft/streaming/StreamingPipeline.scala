@@ -74,6 +74,29 @@ object StreamingPipeline {
       }
   }
 
+  /** Run the mapGroupsWithState conversation-progress stream to completion
+    * over the files currently in inputDir (Update mode: each micro-batch
+    * emits the conversations it touched with their CUMULATIVE state, so the
+    * memory table holds one row per conv per touching batch; the final
+    * state per conv is the row with max turns — `turns` is monotone).
+    */
+  def runProgressOnce(spark: SparkSession, inputDir: String, cfg: PipelineConfig,
+      queryName: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft_ckpt").toString
+    val q = conversationProgress(routedStream(spark, inputDir, cfg))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    spark.table(queryName)
+  }
+
   /** Run the windowed-count stream to completion over the files currently
     * in inputDir (synchronous local smoke path; a production deployment
     * would use a continuous trigger + checkpointLocation).

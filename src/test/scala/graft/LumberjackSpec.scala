@@ -72,4 +72,30 @@ class LumberjackSpec extends SparkSpec {
     val badMagic = good.clone(); badMagic(0) = 'X'
     assert(LumberjackCodec.decode(badMagic) == null)
   }
+
+  test("crafted zlib with FDICT set returns null (no spin, no throw)") {
+    // minimal zlib header with FDICT bit set (0x78 0xBB + 4-byte dict id):
+    // Inflater.inflate returns 0 with needsDictionary()=true forever —
+    // decode must bail to null instead of looping in the task
+    val z = Array[Byte](0x78.toByte, 0xBB.toByte, 0, 0, 0, 1, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('2'); out.write('W'); out.write(Array[Byte](0, 0, 0, 1), 0, 4)
+    out.write('2'); out.write('C')
+    out.write(Array[Byte](0, 0, 0, z.length.toByte), 0, 4)
+    out.write(z, 0, z.length)
+    val t0 = System.nanoTime()
+    assert(LumberjackCodec.decode(out.toByteArray) == null)
+    assert((System.nanoTime() - t0) < 5e9, "decode must not hang")
+  }
+
+  test("encode skips null payload slots with contiguous seq numbers") {
+    GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.{lumberjack_decode, lumberjack_encode}
+    val out = spark.range(1)
+      .select(explode(lumberjack_decode(lumberjack_encode(array(
+        lit("first"), lit(null).cast("string"), lit("third"))))).as("e"))
+      .select(col("e.seq"), col("e.payload"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "first"), (2, "third")))
+  }
 }

@@ -62,6 +62,24 @@ class SyslogSpec extends SparkSpec {
     assert(m("severity") === "crit") // 250 & 7 = 2
   }
 
+  test("RFC5424 fractional-second timestamps parse (not run-clock fallback)") {
+    val m3 = parseOne("<34>1 2024-06-01T12:00:00.123Z h app - - - hi")
+    assert(m3("t") === "1717243200123")
+    val m6 = parseOne("<34>1 2024-06-01T12:00:00.123456+02:00 h app - - - hi")
+    assert(m6("t") === "1717236000123") // truncated to millis, tz applied
+  }
+
+  test("fortinet line with a literal t= key: stitched t overwrites, no throw") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq("<190>date=2024-06-01 time=00:00:00 t=bogus action=pass")
+      .toDF("text").select(
+        PatternDictionary.fortinetTransform(col("text"), lit("2024"), RunTs).as("m"))
+    val m = df.head().getMap[String, String](0).toMap
+    assert(m("t") === "1717200000") // stitched epoch-sec wins over t=bogus
+    assert(m("action") === "pass")
+  }
+
   test("unrecognized line falls to loose {t, +message}") {
     val m = parseOne("just some text")
     assert(m === Map("t" -> RunTs.toString, "+message" -> "just some text"))
