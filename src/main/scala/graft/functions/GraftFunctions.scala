@@ -43,6 +43,7 @@ object GraftFunctions {
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "merge_maps" -> ((exprs: Seq[Expression]) => MergeMaps(exprs(0), exprs(1))),
+    "json_flat_map" -> ((exprs: Seq[Expression]) => JsonFlatMap(exprs.head)),
     // centroid table arrives as a foldable array<array<float>> literal and
     // is baked into the expression at build time
     "nearest_cell" -> ((exprs: Seq[Expression]) => {
@@ -137,6 +138,13 @@ object GraftFunctions {
     */
   def merge_maps(lower: Column, upper: Column): Column =
     call_function("merge_maps", lower, upper)
+
+  /** from_json(c, map<string,string>) as a codegen'd expression (null for
+    * anything but a JSON object) — keeps projections containing the JSON
+    * branch inside WholeStageCodegen (JsonToStructs is CodegenFallback and
+    * would exclude the whole operator).
+    */
+  def json_flat_map(c: Column): Column = call_function("json_flat_map", c)
 
   /** Nearest-centroid index (max cosine, ties low) against a driver-side
     * centroid table (empty/null slots = dead cells, skipped).

@@ -163,38 +163,46 @@ object TrainingOps {
       .orderBy("ia", "ib")
   }
 
-  /** IVF-flat approximate top-5 (see the ann_ivf entry comment). `cells`
-    * and `probes` are the scan-fraction/recall knobs, exposed for the
-    * SketchSpec recall sweep.
-    */
-  def annIvf(s: SparkSession, dir: String, cells: Int, probes: Int): DataFrame = {
+  // ---- IVF-flat similarity index (ann_ivf / ann_ivf_build / ann_ivf_serve) ----
+
+  /** Query/candidate split of the embeddings table. */
+  private def ivfInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     GraftFunctions.ensureRegistered(s)
     val e = embs(s, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cand = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    (e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv")))
+  }
 
+  /** Assign every candidate to its nearest centroid: the driver-side table
+    * is baked into ONE codegen'd argmin expression — zero shuffle, zero
+    * row blowup, bit-identical to the crossJoin+min_by plan it replaced
+    * (which exploded the corpus `cells`-fold and shuffled it, vectors and
+    * all, per Lloyd iteration).
+    */
+  private def ivfAssign(cand: DataFrame, slots: Seq[Seq[Float]]): DataFrame =
+    cand.select(col("nid"), col("nv"),
+      GraftFunctions.nearest_cell(col("nv"), slots).as("cell"))
+
+  /** Run the deterministic spherical-k-means chain (seed centroids = first
+    * `cells` candidates, 2 Lloyd iterations with DECIMAL-sum averaging) and
+    * return the dense driver-side centroid table indexed by cell id
+    * (O(cells·dim) — manifest-class metadata). Dead cells (all members
+    * reassigned away) become empty slots the argmin skips. Each
+    * materializing collect drives one linear codegen'd scan of the
+    * candidates — no cache entry left behind; the table IS the artifact.
+    */
+  private def ivfLloyd(cand: DataFrame, cells: Int): Seq[Seq[Float]] = {
     def centroids0: DataFrame = cand.orderBy("nid").limit(cells)
       .select((row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("nid"))) - 1).as("cell"), col("nv").as("cv"))
-    // materialize a centroid frame to a dense driver-side table indexed by
-    // cell id (O(cells·dim) — manifest-class metadata); dead cells (all
-    // members reassigned away) become empty slots the argmin skips
     def centroidTable(cents: DataFrame): Seq[Seq[Float]] = {
       val rows = cents.select(col("cell"), col("cv")).collect()
       val slots = Array.fill[Seq[Float]](rows.map(_.getInt(0)).max + 1)(Seq.empty)
       rows.foreach(r => slots(r.getInt(0)) = r.getSeq[Float](1))
       slots.toSeq
     }
-    // assign every candidate to its nearest centroid: the driver-side
-    // table is baked into ONE codegen'd argmin expression — zero shuffle,
-    // zero row blowup, bit-identical to the crossJoin+min_by plan it
-    // replaced (which exploded the corpus `cells`-fold and shuffled it,
-    // vectors and all, per Lloyd iteration)
-    def assignWith(slots: Seq[Seq[Float]]): DataFrame =
-      cand.select(col("nid"), col("nv"),
-        GraftFunctions.nearest_cell(col("nv"), slots).as("cell"))
     // Lloyd update: element-wise mean per cell, summed in DECIMAL so the
     // result is independent of partitioning / aggregation order; the
     // exploded groupBy partial-aggregates to <= cells·dim rows map-side
@@ -205,28 +213,32 @@ object TrainingOps {
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m").cast("float")).as("cv"))
-    // 2 Lloyd iterations; each centroidTable() collect drives one linear
-    // codegen'd scan of the candidates (no cache entry left behind — the
-    // table itself is the reusable artifact)
-    val t1 = centroidTable(update(assignWith(centroidTable(centroids0))))
-    val t2 = centroidTable(update(assignWith(t1)))
-    val assigned = assignWith(t2)
+    val t1 = centroidTable(update(ivfAssign(cand, centroidTable(centroids0))))
+    centroidTable(update(ivfAssign(cand, t1)))
+  }
 
-    // probe: rank cells per query against a LocalRelation of the same
-    // driver-side table (no Lloyd re-execution, nothing persisted)
+  /** LocalRelation form of a centroid table (non-empty cells only). */
+  private def ivfCentsFrame(s: SparkSession, slots: Seq[Seq[Float]]): DataFrame = {
     import s.implicits._
-    val centsLocal = t2.zipWithIndex.collect { case (cv, i) if cv.nonEmpty =>
-      (i, cv) }.toDF("cell", "cv")
+    slots.zipWithIndex.collect { case (cv, i) if cv.nonEmpty => (i, cv) }
+      .toDF("cell", "cv")
       .select(col("cell"), col("cv").cast("array<float>").as("cv"))
+  }
+
+  /** Query-serve path: rank cells per query against the broadcast centroid
+    * frame, keep the `probes` nearest, exact-rerank ONLY inside the probed
+    * cells (equi-join on cell — scan fraction = probes/cells).
+    */
+  private def ivfProbeRerank(q: DataFrame, assigned: DataFrame,
+      centsFrame: DataFrame, probes: Int): DataFrame = {
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
-    val probedCells = q.crossJoin(broadcast(centsLocal))
+    val probedCells = q.crossJoin(broadcast(centsFrame))
       .select(col("qid"), col("qv"), col("cell"),
         (-cosine_sim(col("qv"), col("cv"))).as("cdist"))
       .withColumn("crank", row_number().over(wCell))
       .filter(col("crank") <= probes)
       .select(col("qid"), col("qv"), col("cell"))
-    // exact rerank inside the probed cells only (equi-join on cell)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     probedCells.join(assigned, "cell")
@@ -236,6 +248,54 @@ object TrainingOps {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"))
       .orderBy("qid", "rank")
+  }
+
+  /** IVF-flat approximate top-5, built and served in one plan (see the
+    * ann_ivf entry comment). `cells` and `probes` are the
+    * scan-fraction/recall knobs, exposed for the SketchSpec recall sweep.
+    */
+  def annIvf(s: SparkSession, dir: String, cells: Int, probes: Int): DataFrame = {
+    val (q, cand) = ivfInputs(s, dir)
+    val slots = ivfLloyd(cand, cells)
+    ivfProbeRerank(q, ivfAssign(cand, slots), ivfCentsFrame(s, slots), probes)
+  }
+
+  /** On-disk home of the persisted IVF index for a given data dir (tmpfs —
+    * the sandbox stand-in for the object store an index service would use).
+    */
+  def ivfIndexDir(dir: String): String =
+    "/dev/shm/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build and PERSIST the index artifact — the deployment shape of a
+    * 100 TB similarity service, where index construction (k-means over the
+    * corpus) and query serving are separately provisioned jobs. Writes
+    * `assignments` (nid, nv, cell — the corpus bucketed by cell) first and
+    * `centroids` last, so a complete `centroids` write marks the index
+    * valid (same commit-after-data ordering as the pipeline manifest);
+    * overwrite mode keeps rebuilds idempotent. Returns the centroid table.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, cells: Int): DataFrame = {
+    val (_, cand) = ivfInputs(s, dir)
+    val slots = ivfLloyd(cand, cells)
+    val idx = ivfIndexDir(dir)
+    ivfAssign(cand, slots).write.mode("overwrite").parquet(s"$idx/assignments")
+    ivfCentsFrame(s, slots).write.mode("overwrite").parquet(s"$idx/centroids")
+    s.read.parquet(s"$idx/centroids")
+  }
+
+  /** Serve queries from the PERSISTED index: no k-means, no corpus-wide
+    * scan — read centroids (tiny, broadcast), probe, and rerank inside the
+    * probed cells of the bucketed assignments table. Builds the index
+    * first if it is absent; rows are identical to ann_ivf by construction
+    * (pinned by SketchSpec).
+    */
+  def annIvfServe(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val idx = ivfIndexDir(dir)
+    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
+      buildIvfIndex(s, dir, IvfCells)
+    val (q, _) = ivfInputs(s, dir)
+    ivfProbeRerank(q, s.read.parquet(s"$idx/assignments"),
+      s.read.parquet(s"$idx/centroids"), probes)
   }
 
   /** n-gram Jaccard dedup with the stop-shingle cap. The cap keeps the
@@ -464,6 +524,18 @@ object TrainingOps {
     // centroid table is O(cells·dim) metadata — the only driver-side data,
     // same class as the manifest.
     "ann_ivf" -> { (s, dir) => annIvf(s, dir, IvfCells, IvfProbes) },
+    // the persisted-index pair: build writes the centroid + bucketed
+    // assignment tables to the index dir (the deployment artifact a
+    // similarity service ships); serve answers queries from the artifact
+    // alone — k-means never runs at query time. Bench therefore times
+    // index-build and query-serve separately (alphabetical order runs
+    // build first). Rows: build returns the deterministic centroid table;
+    // serve returns exactly ann_ivf's rows (SketchSpec-pinned).
+    "ann_ivf_build" -> { (s, dir) =>
+      buildIvfIndex(s, dir, IvfCells).orderBy("cell")
+        .select(col("cell"), col("cv"))
+    },
+    "ann_ivf_serve" -> { (s, dir) => annIvfServe(s, dir, IvfProbes) },
     "ann_rp_rerank" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val e = embs(s, dir)

@@ -72,8 +72,13 @@ object PatternDictionary {
   def isKern(text: Column): Column =
     text.contains(" kernel: [") && regexp_groups(text, KernRe).isNotNull
 
+  // json_flat_map, not from_json: JsonToStructs is CodegenFallback and ONE
+  // fallback expression excludes the whole fused parse projection from
+  // WholeStageCodegen (measured: the parse stage ran as an un-fused
+  // Project until this was replaced)
   def isJson(text: Column): Column =
-    text.startsWith("{") && from_json(text, FlatMapType).isNotNull
+    text.startsWith("{") &&
+      graft.functions.GraftFunctions.json_flat_map(text).isNotNull
 
   def isMini(text: Column): Column = regexp_groups(text, MiniRe).isNotNull
 
@@ -105,15 +110,31 @@ object PatternDictionary {
   // exactly three space-separated tokens (test_input1.py:4-12)
   val MiniRe: String = "^(\\S+) (\\S+) (\\S+)$"
 
-  // ---- per-format extractors: text -> named typed columns ----
+  // ---- per-format extractors ----
   // Guarded casts use try_* so rows that matched the cheap regex but carry
   // garbage in a group degrade to null instead of throwing under ANSI mode.
+  //
+  // EVALUATION DISCIPLINE (the engine's hottest code): every extractor has
+  // a *G form taking the regexp_groups ARRAY column, and `parse` hoists
+  // each format's (gated) regex into ONE intermediate projection column
+  // that the format tag and all field extractions then read. Spark's
+  // codegen subexpression elimination does NOT look inside CASE WHEN
+  // branches, so the previous text-based composition re-executed the
+  // format regex once per extracted field (~9x per syslog row, measured in
+  // the generated code: 298 regex call sites, zero subexpressions).
+  // CollapseProject keeps the hoisted aliases un-inlined because they are
+  // non-trivial and multiply referenced, and both projections fuse into
+  // the same WholeStageCodegen stage.
+  //
   // g(gs, i) is 1-based like regexp_extract; unparticipating optional
   // groups are null (Java regex), not "" (a fidelity improvement over
   // regexp_extract, matching Python's m.group(i) in the reference scripts).
 
   private def g(text: Column, re: String, i: Int): Column =
     get(regexp_groups(text, re), lit(i - 1))
+
+  /** 1-based group read off a hoisted regexp_groups array column. */
+  private def ga(gs: Column, i: Int): Column = get(gs, lit(i - 1))
 
   private def emptyToNull(c: Column): Column = when(c =!= "", c)
 
@@ -123,13 +144,21 @@ object PatternDictionary {
   def fortinetKv(text: Column): Column =
     logfmt_parse_fortinet(text.substr(instr(text, ">") + 1, length(text)))
 
-  def fortinetT(text: Column, runTsMillis: Long): Column = {
-    val d = emptyToNull(g(text, "date=(\\S+)", 1))
-    val t = emptyToNull(g(text, "(?:^|\\s)time=(\\S+)", 1))
+  val FortinetDateRe = "date=(\\S+)"
+  val FortinetTimeRe = "(?:^|\\s)time=(\\S+)"
+
+  /** Stitched epoch-sec timestamp from hoisted date=/time= group arrays. */
+  def fortinetTG(gd: Column, gt: Column, runTsMillis: Long): Column = {
+    val d = emptyToNull(ga(gd, 1))
+    val t = emptyToNull(ga(gt, 1))
     coalesce(
       unix_timestamp(try_to_timestamp(concat_ws(" ", d, t), lit("yyyy-MM-dd HH:mm:ss"))),
       lit(runTsMillis / 1000L)) // Local::now() fallback -> injected run clock
   }
+
+  def fortinetT(text: Column, runTsMillis: Long): Column =
+    fortinetTG(regexp_groups(text, FortinetDateRe),
+      regexp_groups(text, FortinetTimeRe), runTsMillis)
 
   /** The full fortinet ROUTE-TRANSFORM semantics (fortinet.rs:73-111): a
     * line containing '>' is pri-stripped (everything after the FIRST '>')
@@ -191,13 +220,17 @@ object PatternDictionary {
     * here — the one knowing deviation, as Spark's from_json cannot target
     * bare scalars.)
     */
-  private def withMessageBody(base: Column, msg: Column): Column = {
+  private def withMessageBody(base: Column, msg: Column): Column =
     // startsWith gate: only a {...} body can be a JSON object, and the
-    // gate spares the (expensive) from_json on every plain-text message
-    val json = when(msg.startsWith("{"), from_json(msg, FlatMapType))
-    when(json.isNotNull, mergeMaps(base, json))
-      .otherwise(mergeMaps(base, map(lit("+message"), msg)))
-  }
+    // gate spares the (expensive) JSON parse on every plain-text message.
+    // coalesce form: merge_maps null-propagates, so a non-object body makes
+    // the first branch null and the parse runs ONCE (an isNotNull test on
+    // the json subtree would evaluate it a second time for the merge — CSE
+    // does not dedupe inside conditionals)
+    coalesce(
+      when(msg.startsWith("{"),
+        mergeMaps(base, graft.functions.GraftFunctions.json_flat_map(msg))),
+      mergeMaps(base, map(lit("+message"), msg)))
 
   /** RFC3164 event map: header fields + named facility/severity + body
     * JSON-merge; missing/unparseable timestamp falls back to the run clock
@@ -209,18 +242,21 @@ object PatternDictionary {
     * open-schema map here is map<string,string>, so proc_id is always a
     * string. Numeric-typed filtering on proc_id must cast downstream.
     */
-  def syslog3164Map(text: Column, defaultYear: Column, runTsMillis: Long): Column = {
-    val pri = try_cast_long(g(text, SyslogRe, 1))
+  def syslog3164MapG(gs: Column, defaultYear: Column, runTsMillis: Long): Column = {
+    val pri = try_cast_long(ga(gs, 1))
     val base = toMap(Seq(
-      "t" -> coalesce(rfc3164Millis(g(text, SyslogRe, 2), defaultYear),
+      "t" -> coalesce(rfc3164Millis(ga(gs, 2), defaultYear),
         lit(runTsMillis)),
       "facility" -> facilityName(pri),
       "severity" -> severityName(pri),
-      "hostname" -> emptyToNull(g(text, SyslogRe, 3)),
-      "app_name" -> emptyToNull(g(text, SyslogRe, 4)),
-      "proc_id" -> emptyToNull(g(text, SyslogRe, 5))))
-    withMessageBody(base, g(text, SyslogRe, 6))
+      "hostname" -> emptyToNull(ga(gs, 3)),
+      "app_name" -> emptyToNull(ga(gs, 4)),
+      "proc_id" -> emptyToNull(ga(gs, 5))))
+    withMessageBody(base, ga(gs, 6))
   }
+
+  def syslog3164Map(text: Column, defaultYear: Column, runTsMillis: Long): Column =
+    syslog3164MapG(regexp_groups(text, SyslogRe), defaultYear, runTsMillis)
 
   private def nilToNull(c: Column): Column = when(c =!= "-", c)
 
@@ -228,13 +264,13 @@ object PatternDictionary {
     * flattening (last block's id under `id`, every block's params merged —
     * syslog.rs:70-78) + body JSON-merge. Nil timestamp → run clock.
     */
-  def syslog5424Map(text: Column, runTsMillis: Long): Column = {
-    val pri = try_cast_long(g(text, Syslog5424Re, 1))
+  def syslog5424MapG(gs: Column, runTsMillis: Long): Column = {
+    val pri = try_cast_long(ga(gs, 1))
     // RFC5424 allows fractional seconds (TIME-SECFRAC, up to 6 digits) and
     // the offset is Z or ±HH:MM; syslog_loose parses both. [.SSSSSS]
     // accepts 0-6 fraction digits; X covers Z/+02/+0200 (loose inputs),
     // XXX covers the RFC's ±HH:MM. Millis truncation matches unix_millis.
-    val tsRaw = nilToNull(g(text, Syslog5424Re, 2))
+    val tsRaw = nilToNull(ga(gs, 2))
     val ts = unix_millis(coalesce(
       try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]X")),
       try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"))))
@@ -242,11 +278,11 @@ object PatternDictionary {
       "t" -> coalesce(ts, lit(runTsMillis)),
       "facility" -> facilityName(pri),
       "severity" -> severityName(pri),
-      "hostname" -> nilToNull(g(text, Syslog5424Re, 3)),
-      "app_name" -> nilToNull(g(text, Syslog5424Re, 4)),
-      "proc_id" -> nilToNull(g(text, Syslog5424Re, 5)),
-      "msg_id" -> nilToNull(g(text, Syslog5424Re, 6))))
-    val sdPart = nilToNull(g(text, Syslog5424Re, 7))
+      "hostname" -> nilToNull(ga(gs, 3)),
+      "app_name" -> nilToNull(ga(gs, 4)),
+      "proc_id" -> nilToNull(ga(gs, 5)),
+      "msg_id" -> nilToNull(ga(gs, 6))))
+    val sdPart = nilToNull(ga(gs, 7))
     // SD ids are the first token of each [block]; params are k="v" pairs —
     // logfmt-compatible, and the fortinet-flavor parse (drop valueless
     // keys) discards the bare id tokens from the param map for free
@@ -259,65 +295,88 @@ object PatternDictionary {
         mergeMaps(base, graft.functions.GraftFunctions.compact_map(lit("id"), sdId)))
         .otherwise(base),
       sdParams)
-    withMessageBody(withSd, coalesce(g(text, Syslog5424Re, 8), lit("")))
+    withMessageBody(withSd, coalesce(ga(gs, 8), lit("")))
   }
 
-  /** The unified `parse_syslog` analogue — total over any string: 5424,
-    * then 3164, then the loose fallback {t: run clock, +message: line}
-    * (syslog_loose never fails; an unrecognized line is all-message).
-    */
-  def syslogMap(text: Column, defaultYear: Column, runTsMillis: Long): Column =
-    when(maybe5424(text),
-      syslog5424Map(text, runTsMillis))
-      .when(regexp_groups(text, SyslogRe).isNotNull,
-        syslog3164Map(text, defaultYear, runTsMillis))
-      .otherwise(map(lit("t"), lit(runTsMillis).cast("string"),
-        lit("+message"), text))
+  def syslog5424Map(text: Column, runTsMillis: Long): Column =
+    syslog5424MapG(regexp_groups(text, Syslog5424Re), runTsMillis)
 
-  def combinedCols(text: Column): Seq[(String, Column)] = {
-    val user = g(text, CombinedRe, 3)
-    val ref = g(text, CombinedRe, 10)
+  /** The loose fallback event ({t: run clock, +message: line}). */
+  private def looseMap(text: Column, runTsMillis: Long): Column =
+    map(lit("t"), lit(runTsMillis).cast("string"), lit("+message"), text)
+
+  /** Unified `parse_syslog` off hoisted (gated) group columns: 5424, then
+    * 3164, then loose (syslog_loose never fails; an unrecognized line is
+    * all-message).
+    */
+  def syslogMapG(g5424: Column, g3164: Column, text: Column,
+      defaultYear: Column, runTsMillis: Long): Column =
+    when(g5424.isNotNull, syslog5424MapG(g5424, runTsMillis))
+      .when(g3164.isNotNull, syslog3164MapG(g3164, defaultYear, runTsMillis))
+      .otherwise(looseMap(text, runTsMillis))
+
+  /** Text-based form (route transforms, specs — NOT the fused parse). */
+  def syslogMap(text: Column, defaultYear: Column, runTsMillis: Long): Column =
+    syslogMapG(
+      when(maybe5424(text), regexp_groups(text, Syslog5424Re)),
+      regexp_groups(text, SyslogRe), text, defaultYear, runTsMillis)
+
+  def combinedColsG(gs: Column): Seq[(String, Column)] = {
+    val user = ga(gs, 3)
+    val ref = ga(gs, 10)
     Seq(
-      "host" -> g(text, CombinedRe, 1),
+      "host" -> ga(gs, 1),
       // '-' means absent (web_servers.py:25-26,44-45)
       "user" -> when(user =!= "-", user),
-      "t" -> unix_millis(try_to_timestamp(g(text, CombinedRe, 4), lit("dd/MMM/yyyy:HH:mm:ss Z"))),
-      "method" -> g(text, CombinedRe, 5),
-      "path" -> g(text, CombinedRe, 6),
-      "proto" -> regexp_replace(g(text, CombinedRe, 7), "^HTTP/", ""),
-      "status" -> try_cast_long(g(text, CombinedRe, 8)),
-      "size" -> try_cast_long(g(text, CombinedRe, 9)),
+      "t" -> unix_millis(try_to_timestamp(ga(gs, 4), lit("dd/MMM/yyyy:HH:mm:ss Z"))),
+      "method" -> ga(gs, 5),
+      "path" -> ga(gs, 6),
+      "proto" -> regexp_replace(ga(gs, 7), "^HTTP/", ""),
+      "status" -> try_cast_long(ga(gs, 8)),
+      "size" -> try_cast_long(ga(gs, 9)),
       "ref" -> when(ref =!= "-", ref),
-      "user_agent" -> g(text, CombinedRe, 11)
+      "user_agent" -> ga(gs, 11)
     )
   }
 
-  def errorCols(text: Column): Seq[(String, Column)] = Seq(
+  def combinedCols(text: Column): Seq[(String, Column)] =
+    combinedColsG(regexp_groups(text, CombinedRe))
+
+  def errorColsG(gs: Column): Seq[(String, Column)] = Seq(
     // day-of-week is redundant for parsing and Spark's formatter rejects a
     // parse-side EEE; strip it (dateutil in web_servers.py:68 ignores it too)
     "t" -> unix_millis(try_to_timestamp(
-      regexp_replace(g(text, ErrorRe, 1), "^[A-Za-z]{3} ", ""),
+      regexp_replace(ga(gs, 1), "^[A-Za-z]{3} ", ""),
       lit("MMM dd HH:mm:ss.SSSSSS yyyy"))),
-    "level" -> g(text, ErrorRe, 2),
-    "pid" -> try_cast_long(g(text, ErrorRe, 3)),
-    "tid" -> try_cast_long(emptyToNull(g(text, ErrorRe, 4))),
-    "client" -> emptyToNull(g(text, ErrorRe, 5)),
-    "message" -> g(text, ErrorRe, 6)
+    "level" -> ga(gs, 2),
+    "pid" -> try_cast_long(ga(gs, 3)),
+    "tid" -> try_cast_long(emptyToNull(ga(gs, 4))),
+    "client" -> emptyToNull(ga(gs, 5)),
+    "message" -> ga(gs, 6)
   )
 
-  def kernCols(text: Column, defaultYear: Column): Seq[(String, Column)] = Seq(
-    "t" -> rfc3164Millis(g(text, KernRe, 1), defaultYear),
-    "since_start_sec" -> try_cast_long(g(text, KernRe, 3)),
-    "since_start_ns" -> try_cast_long(g(text, KernRe, 4)),
-    "message" -> trim(g(text, KernRe, 5))
+  def errorCols(text: Column): Seq[(String, Column)] =
+    errorColsG(regexp_groups(text, ErrorRe))
+
+  def kernColsG(gs: Column, defaultYear: Column): Seq[(String, Column)] = Seq(
+    "t" -> rfc3164Millis(ga(gs, 1), defaultYear),
+    "since_start_sec" -> try_cast_long(ga(gs, 3)),
+    "since_start_ns" -> try_cast_long(ga(gs, 4)),
+    "message" -> trim(ga(gs, 5))
   )
 
-  def miniCols(text: Column): Seq[(String, Column)] = Seq(
-    "method" -> g(text, MiniRe, 1),
-    "path" -> g(text, MiniRe, 2),
+  def kernCols(text: Column, defaultYear: Column): Seq[(String, Column)] =
+    kernColsG(regexp_groups(text, KernRe), defaultYear)
+
+  def miniColsG(gs: Column): Seq[(String, Column)] = Seq(
+    "method" -> ga(gs, 1),
+    "path" -> ga(gs, 2),
     // status stays a string (test_input1.py:11 returns it unconverted)
-    "status" -> g(text, MiniRe, 3)
+    "status" -> ga(gs, 3)
   )
+
+  def miniCols(text: Column): Seq[(String, Column)] =
+    miniColsG(regexp_groups(text, MiniRe))
 
   private def try_cast_long(c: Column): Column = c.try_cast("long")
 
@@ -334,36 +393,79 @@ object PatternDictionary {
 
   /** Adds `format` (dictionary entry that matched, or 'malformed') and
     * `fields` (map<string,string> of extracted keys) to a DataFrame with a
-    * `text` column. One projection; all branches codegen'd.
+    * `text` column.
+    *
+    * TWO staged projections inside one WholeStageCodegen: the first
+    * evaluates each format's GATED regex (and the JSON parse) exactly once
+    * per row into intermediate group-array columns; the second builds the
+    * format tag and the fields map by reading those arrays. Codegen CSE
+    * cannot dedupe subtrees inside CASE WHEN branches, so the previous
+    * single-projection form re-ran the matched format's regex once per
+    * extracted field (~9x per syslog row). CollapseProject leaves the
+    * stages split because the hoisted aliases are non-trivial and
+    * multiply referenced. The cheap prefix/contains gates still let a row
+    * skip every regex that cannot match it.
     */
   def parse(df: DataFrame, runTsMillis: Long): DataFrame = {
     val text = col("text")
     val year = date_format(timestamp_millis(lit(runTsMillis)), "yyyy")
 
-    val format = when(isFortinet(text), "fortinet")
-      .when(isSyslog(text), "syslog")
-      .when(isCombined(text), "combined")
-      .when(isError(text), "error")
-      .when(isKern(text), "kern")
-      .when(isJson(text), "json")
-      .when(isMini(text), "mini")
+    val isf = col("_isf")
+    val g5424 = col("_g5424"); val g3164 = col("_g3164")
+    val gcomb = col("_gcomb"); val gerr = col("_gerr")
+    val gkern = col("_gkern"); val gjson = col("_gjson")
+    val gmini = col("_gmini")
+    // chained stages (each withColumns is one projection; a column may only
+    // reference columns from an EARLIER stage); all fuse into one
+    // WholeStageCodegen
+    val staged = df
+      .withColumn("_isf", isFortinet(text))
+      .withColumns(scala.collection.immutable.ListMap(
+        "_g5424" -> when(!isf && text.startsWith("<") && text.contains(">1 "),
+          regexp_groups(text, Syslog5424Re)),
+        "_g3164" -> when(!isf && text.startsWith("<"),
+          regexp_groups(text, SyslogRe)),
+        "_gcomb" -> when(text.contains("] \""), regexp_groups(text, CombinedRe)),
+        "_gerr" -> when(text.startsWith("["), regexp_groups(text, ErrorRe)),
+        "_gkern" -> when(text.contains(" kernel: ["), regexp_groups(text, KernRe)),
+        "_gjson" -> when(text.startsWith("{"),
+          graft.functions.GraftFunctions.json_flat_map(text)),
+        "_gfd" -> when(isf, regexp_groups(text, FortinetDateRe)),
+        "_gft" -> when(isf, regexp_groups(text, FortinetTimeRe))))
+      // mini only if nothing above matched — the regex never runs for a
+      // row another dictionary entry already claimed
+      .withColumn("_gmini", when(!isf && g5424.isNull && g3164.isNull &&
+        gcomb.isNull && gerr.isNull && gkern.isNull && gjson.isNull,
+        regexp_groups(text, MiniRe)))
+
+    val format = when(isf, "fortinet")
+      .when(g5424.isNotNull || g3164.isNotNull, "syslog")
+      .when(gcomb.isNotNull, "combined")
+      .when(gerr.isNotNull, "error")
+      .when(gkern.isNotNull, "kern")
+      .when(gjson.isNotNull, "json")
+      .when(gmini.isNotNull, "mini")
       .otherwise("malformed")
 
     // merge_maps, not map_concat: stitched t overwrites a literal t= key
     // instead of throwing (DUPLICATED_MAP_KEY) — see fortinetTransform
     val fortinetMap = mergeMaps(
       fortinetKv(text),
-      map(lit("t"), fortinetT(text, runTsMillis).cast("string")))
+      map(lit("t"),
+        fortinetTG(col("_gfd"), col("_gft"), runTsMillis).cast("string")))
 
-    val fields = when(isFortinet(text), fortinetMap)
-      .when(isSyslog(text), syslogMap(text, year, runTsMillis))
-      .when(isCombined(text), toMap(combinedCols(text)))
-      .when(isError(text), toMap(errorCols(text)))
-      .when(isKern(text), toMap(kernCols(text, year)))
-      .when(isJson(text), from_json(text, FlatMapType))
-      .when(isMini(text), toMap(miniCols(text)))
+    val fields = when(isf, fortinetMap)
+      .when(g5424.isNotNull || g3164.isNotNull,
+        syslogMapG(g5424, g3164, text, year, runTsMillis))
+      .when(gcomb.isNotNull, toMap(combinedColsG(gcomb)))
+      .when(gerr.isNotNull, toMap(errorColsG(gerr)))
+      .when(gkern.isNotNull, toMap(kernColsG(gkern, year)))
+      .when(gjson.isNotNull, gjson)
+      .when(gmini.isNotNull, toMap(miniColsG(gmini)))
       .otherwise(map().cast("map<string,string>"))
 
-    df.withColumn("format", format).withColumn("fields", fields)
+    staged.withColumn("format", format).withColumn("fields", fields)
+      .drop("_isf", "_g5424", "_g3164", "_gcomb", "_gerr", "_gkern",
+        "_gjson", "_gmini", "_gfd", "_gft")
   }
 }

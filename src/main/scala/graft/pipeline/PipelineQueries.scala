@@ -37,6 +37,23 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** fmtQuery with the shared parse result HOISTED into one intermediate
+    * column: codegen CSE does not dedupe repeated subtrees, so extracting
+    * 13 fields from `syslogMap(text)` directly re-built the whole map (and
+    * re-ran its regexes) once per field. CollapseProject keeps the hoisted
+    * alias because it is non-trivial and multiply referenced.
+    */
+  private def fmtQueryHoisted(line: Column, shared: Column,
+      cols: Column => Seq[(String, Column)])(
+      s: SparkSession, dir: String): DataFrame = {
+    reg(s)
+    Transcripts.withText(s, dir, line)
+      .withColumn("_m", shared)
+      .select(col("event_id") +:
+        cols(col("_m")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("event_id")
+  }
+
   private def mapCols(kv: Column, names: Seq[String]): Seq[(String, Column)] =
     names.map(n => n -> try_element_at(kv, lit(n)))
 
@@ -45,65 +62,73 @@ object PipelineQueries {
     // (fortinet.rs:73-111): 1/5 of the input lines carry no pri and land in
     // the loose fallback {t: run-clock millis, +message: raw line}
     "pipe_fortinet_parse" -> { (s, dir) =>
-      reg(s)
-      val kv = PatternDictionary.fortinetTransform(col("text"), year2024, RunTsMillis)
-      val cols: Seq[(String, Column)] =
-        Seq("t" -> try_element_at(kv, lit("t")).try_cast("long")) ++
+      fmtQueryHoisted(Transcripts.fortinetRouteLine,
+        PatternDictionary.fortinetTransform(col("text"), year2024, RunTsMillis),
+        kv => Seq("t" -> try_element_at(kv, lit("t")).try_cast("long")) ++
           mapCols(kv, Seq("devname", "subtype", "vd", "action")) ++
           Seq(
             "ftype" -> try_element_at(kv, lit("type")),
             "usr" -> try_element_at(kv, lit("user")),
             "srcport" -> try_element_at(kv, lit("srcport")).try_cast("long"),
             "msg" -> try_element_at(kv, lit("msg")),
-            "pmsg" -> try_element_at(kv, lit("+message")))
-      fmtQuery(Transcripts.fortinetRouteLine, cols)(s, dir)
+            "pmsg" -> try_element_at(kv, lit("+message"))))(s, dir)
     },
     // full parse_syslog fidelity (syslog.rs:22-97): RFC3164 + RFC5424,
     // named facility/severity, msg_id, SD id+param flattening, JSON message
     // bodies merged, nil/unparseable timestamp -> run clock
     "pipe_syslog_parse" -> { (s, dir) =>
-      reg(s)
-      val m = PatternDictionary.syslogMap(col("text"), year2024, RunTsMillis)
-      def f(k: String) = try_element_at(m, lit(k))
-      val cols: Seq[(String, Column)] = Seq(
-        "t" -> f("t").try_cast("long"),
-        "facility" -> f("facility"),
-        "severity" -> f("severity"),
-        "hostname" -> f("hostname"),
-        "app_name" -> f("app_name"),
-        "proc_id" -> f("proc_id"),
-        "msg_id" -> f("msg_id"),
-        "sd_id" -> f("id"),
-        "iut" -> f("iut"),
-        "event_source" -> f("eventSource"),
-        "etype" -> f("etype"),
-        "k_merged" -> f("k"),
-        "message" -> f("+message"))
-      fmtQuery(Transcripts.syslogLine, cols)(s, dir)
+      fmtQueryHoisted(Transcripts.syslogLine,
+        PatternDictionary.syslogMap(col("text"), year2024, RunTsMillis),
+        m => {
+          def f(k: String) = try_element_at(m, lit(k))
+          Seq(
+            "t" -> f("t").try_cast("long"),
+            "facility" -> f("facility"),
+            "severity" -> f("severity"),
+            "hostname" -> f("hostname"),
+            "app_name" -> f("app_name"),
+            "proc_id" -> f("proc_id"),
+            "msg_id" -> f("msg_id"),
+            "sd_id" -> f("id"),
+            "iut" -> f("iut"),
+            "event_source" -> f("eventSource"),
+            "etype" -> f("etype"),
+            "k_merged" -> f("k"),
+            "message" -> f("+message"))
+        })(s, dir)
     },
     "pipe_combined_parse" -> { (s, dir) =>
-      val cols = PatternDictionary.combinedCols(col("text")).map {
-        case ("user", c) => ("usr", c)
-        case ("size", c) => ("size_b", c)
-        case other       => other
-      }
-      fmtQuery(Transcripts.combinedLine, cols)(s, dir)
+      fmtQueryHoisted(Transcripts.combinedLine,
+        graft.functions.GraftFunctions.regexp_groups(
+          col("text"), PatternDictionary.CombinedRe),
+        gs => PatternDictionary.combinedColsG(gs).map {
+          case ("user", c) => ("usr", c)
+          case ("size", c) => ("size_b", c)
+          case other       => other
+        })(s, dir)
     },
     "pipe_error_parse" -> { (s, dir) =>
-      fmtQuery(Transcripts.errorLine,
-        PatternDictionary.errorCols(col("text")))(s, dir)
+      fmtQueryHoisted(Transcripts.errorLine,
+        graft.functions.GraftFunctions.regexp_groups(
+          col("text"), PatternDictionary.ErrorRe),
+        gs => PatternDictionary.errorColsG(gs))(s, dir)
     },
     "pipe_kern_parse" -> { (s, dir) =>
-      fmtQuery(Transcripts.kernLine,
-        PatternDictionary.kernCols(col("text"), year2024))(s, dir)
+      fmtQueryHoisted(Transcripts.kernLine,
+        graft.functions.GraftFunctions.regexp_groups(
+          col("text"), PatternDictionary.KernRe),
+        gs => PatternDictionary.kernColsG(gs, year2024))(s, dir)
     },
     "pipe_json_parse" -> { (s, dir) =>
-      val kv = from_json(col("text"), PatternDictionary.FlatMapType)
-      fmtQuery(Transcripts.jsonLine, mapCols(kv, Seq("etype", "k")))(s, dir)
+      fmtQueryHoisted(Transcripts.jsonLine,
+        graft.functions.GraftFunctions.json_flat_map(col("text")),
+        kv => mapCols(kv, Seq("etype", "k")))(s, dir)
     },
     "pipe_mini_parse" -> { (s, dir) =>
-      fmtQuery(Transcripts.miniLine,
-        PatternDictionary.miniCols(col("text")))(s, dir)
+      fmtQueryHoisted(Transcripts.miniLine,
+        graft.functions.GraftFunctions.regexp_groups(
+          col("text"), PatternDictionary.MiniRe),
+        gs => PatternDictionary.miniColsG(gs))(s, dir)
     },
     "pipe_logfmt" -> { (s, dir) =>
       reg(s)
@@ -201,9 +226,11 @@ object PipelineQueries {
       Transcripts.events(s, dir)
         .select(col("event_id"), explode(decoded).as("e"))
         .select(col("event_id"), col("e.seq").as("seq"),
-          try_element_at(from_json(col("e.payload"), PatternDictionary.FlatMapType),
+          try_element_at(
+            graft.functions.GraftFunctions.json_flat_map(col("e.payload")),
             lit("etype")).as("etype"),
-          try_element_at(from_json(col("e.payload"), PatternDictionary.FlatMapType),
+          try_element_at(
+            graft.functions.GraftFunctions.json_flat_map(col("e.payload")),
             lit("k")).as("k"))
         .orderBy("event_id", "seq")
     },

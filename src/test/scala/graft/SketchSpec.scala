@@ -67,6 +67,20 @@ class SketchSpec extends SparkSpec {
     assert(run() === ivf, "ann_ivf not deterministic across runs")
   }
 
+  test("ann_ivf_serve from the persisted index returns exactly ann_ivf's rows") {
+    def rows(name: String) = graft.ops.TrainingOps.queries(name)(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // build explicitly (idempotent overwrite), then serve reads the artifact
+    val cents = graft.ops.TrainingOps.queries("ann_ivf_build")(spark, sf("0.01"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(cents.length === graft.ops.TrainingOps.IvfCells)
+    assert(rows("ann_ivf_serve") === rows("ann_ivf"))
+    // rebuild is deterministic: same centroid bytes
+    val cents2 = graft.ops.TrainingOps.queries("ann_ivf_build")(spark, sf("0.01"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(cents2 === cents)
+  }
+
   test("text_fingerprint golden values are stable across runs") {
     val a = graft.ops.TrainingOps.queries("text_fingerprint")(spark, sf("0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
