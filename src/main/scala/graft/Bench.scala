@@ -86,12 +86,20 @@ object Bench {
     TranscriptGen.transcripts(spark, benchTurns).write.parquet(inputPath)
     val tputFull = pipelineTput(spark, inputPath, benchTurns)
     val tputOnly = sys.env.contains("SPARK_GRAFT_TPUT_ONLY")
-    val results = if (tputOnly) Seq.empty else
+    // two passes: pass 1 warms (codegen class compile, JIT, streaming
+    // machinery init — one-time JVM costs of 5-15 s that otherwise land on
+    // whichever query first exercises a path and made round-over-round
+    // per-query numbers incomparable); pass 2 is the reported steady-state
+    // timing. The cold total is emitted alongside so the one-time cost
+    // stays visible instead of silently deleted.
+    def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    val coldTotal = if (tputOnly) 0.0 else runSuite().map(_._2).sum
+    val results = if (tputOnly) Seq.empty else runSuite()
     if (!tputOnly) graft.ops.TrainingOps.releaseCaches(spark, sfDir)
     quietStop(spark)
 
@@ -136,6 +144,7 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(inputPath).getParentFile)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_cold_total":${f"$coldTotal%.1f"},""" +
       s""""sf":"$sfDir","turns_per_sec_${cpus}c":${tputFull.round},""" +
       s""""pipeline_turns_per_sec_8c":${tput8.round},""" +
       s""""pipeline_turns_per_sec_2c":${tput2.round},""" +

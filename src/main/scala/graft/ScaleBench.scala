@@ -191,6 +191,13 @@ object ScaleBench {
          |${bySmallRaw.max.round} -> ${byBigRaw.max.round} turns/s,
          |efficiency ${f"$effRaw%.3f"}.
          |
+         |Run-to-run variance: ambient neighbor load AND the host's turbo
+         |behavior both drift on minute timescales (CLAUDE.md documents
+         |±2x single-run swings), so single-sample efficiencies from other
+         |sessions ranged ~0.63-1.0 under this same protocol. This file
+         |records a measurement taken at ambient load < 1; rerun
+         |`sbt "runMain graft.ScaleBench"` on a quiet machine to reproduce.
+         |
          |## Why N=$nSmall: the single-VM memory wall
          |
          |This sandbox is ONE machine: adding local threads adds cores but
