@@ -407,6 +407,44 @@ object TrainingOps {
           (coalesce(col("n_hit"), lit(0L)) >= 3).as("contaminated"))
         .orderBy("doc_id")
     },
+    // sequence packing: stream documents into fixed token-budget bins
+    // (capacity 2048) — the curation step that turns a deduped corpus into
+    // training sequences. Packing is inherently order-dependent, so the
+    // scale shape is PER-SHARD packing (hash shard, window per shard):
+    // 8 shards here, millions at 100 TB — each shard's running sum is an
+    // independent partitioned window, no global sort, no single-partition
+    // window. pack_id = floor(tokens-before-me-in-shard / capacity).
+    "text_pack" -> { (s, dir) =>
+      val nTok = size(tokens(col("text"))).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+          nTok.as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr("cum_before div 2048").as("pack_id"))
+        .orderBy("doc_id")
+    },
+    // stratified sampling for curation: keep 100% of 'good', ~1/2 of
+    // 'fair', ~1/16 of 'junk', selected by a DETERMINISTIC content hash
+    // (md5 hex prefix compared lexicographically — reproducible across
+    // engines/runs/partitionings, unlike rand()). Linear, shuffle-free.
+    "text_sample_stratified" -> { (s, dir) =>
+      val nTok = size(tokens(col("text"))).cast("long")
+      val hits = stopHits(col("text")).cast("long")
+      val bucket = when(nTok.between(20, 200) && hits >= 1, "good")
+        .when(nTok >= 5, "fair").otherwise("junk")
+      val h2 = substring(md5(col("text").cast("binary")), 1, 2)
+      docs(s, dir)
+        .select(col("doc_id"), bucket.as("quality"), h2.as("h2"))
+        .filter(col("quality") === "good" ||
+          (col("quality") === "fair" && col("h2") < "80") ||
+          (col("quality") === "junk" && col("h2") < "10"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -620,6 +658,26 @@ object TrainingOps {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY text_md5 ORDER BY keep_id""",
+    "text_pack" ->
+      s"""WITH tok AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+            CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents)
+          SELECT doc_id, shard, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+              AS BIGINT) AS pack_id
+          FROM tok ORDER BY doc_id""",
+    "text_sample_stratified" ->
+      s"""WITH q AS (SELECT doc_id, text,
+            CASE WHEN len($tokSql) BETWEEN 20 AND 200 AND $stopSql >= 1
+                 THEN 'good'
+                 WHEN len($tokSql) >= 5 THEN 'fair' ELSE 'junk' END AS quality
+          FROM documents)
+          SELECT doc_id, quality FROM q
+          WHERE quality = 'good'
+             OR (quality = 'fair' AND substr(md5(text), 1, 2) < '80')
+             OR (quality = 'junk' AND substr(md5(text), 1, 2) < '10')
+          ORDER BY doc_id""",
     "text_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id,

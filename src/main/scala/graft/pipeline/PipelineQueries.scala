@@ -88,6 +88,10 @@ object PipelineQueries {
             "hostname" -> f("hostname"),
             "app_name" -> f("app_name"),
             "proc_id" -> f("proc_id"),
+            // the reference's int-or-string proc_id typing (syslog.rs:55-64)
+            // recovered as a typed column from the all-string open map
+            // (the documented third knowing deviation, PatternDictionary)
+            "proc_id_int" -> f("proc_id").try_cast("long"),
             "msg_id" -> f("msg_id"),
             "sd_id" -> f("id"),
             "iut" -> f("iut"),
@@ -403,6 +407,8 @@ object PipelineQueries {
           'app' || (event_id % 7) AS app_name,
           CASE WHEN event_id % 5 = 4 THEN NULL
                ELSE CAST(event_id % 30000 AS VARCHAR) END AS proc_id,
+          CASE WHEN event_id % 5 = 4 THEN NULL
+               ELSE CAST(event_id % 30000 AS BIGINT) END AS proc_id_int,
           CASE WHEN event_id % 5 >= 3 THEN 'mid' || (event_id % 9) END AS msg_id,
           CASE WHEN event_id % 5 = 3 THEN 'exampleSDID@32473' END AS sd_id,
           CASE WHEN event_id % 5 = 3 THEN CAST(event_id % 4 AS VARCHAR) END AS iut,
