@@ -82,13 +82,70 @@ object Multimodal {
     }
   }
 
+  /** Minimal-but-REAL RIFF/WAVE container handling, pure JVM byte
+    * scanning: [[wrap]] builds RIFF + a canonical 16-byte PCM fmt chunk
+    * (mono 16-bit, sample_rate embedded) + the raw bytes as the data
+    * chunk; [[rate]] walks the chunks and reads sample_rate from fmt.
+    */
+  object Wav {
+    /** RIFF(12) + fmt chunk(24) + data header(8). */
+    val Overhead = 44
+
+    private def u32le(out: Array[Byte], off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def tag(out: Array[Byte], off: Int, s: String): Unit =
+      s.getBytes.copyToArray(out, off)
+
+    def wrap(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val out = new Array[Byte](data.length + Overhead)
+      tag(out, 0, "RIFF"); u32le(out, 4, 36 + data.length); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); u32le(out, 16, 16)
+      out(20) = 1; out(21) = 0 // PCM
+      out(22) = 1; out(23) = 0 // mono
+      u32le(out, 24, sampleRate)
+      u32le(out, 28, sampleRate * 2) // byte rate (mono 16-bit)
+      out(32) = 2; out(33) = 0 // block align
+      out(34) = 16; out(35) = 0 // bits/sample
+      tag(out, 36, "data"); u32le(out, 40, data.length)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+
+    private def readU32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def hasTag(b: Array[Byte], off: Int, s: String): Boolean =
+      s.getBytes.zipWithIndex.forall { case (c, i) => b(off + i) == c }
+
+    /** sample_rate from the fmt chunk; None when not a parseable WAVE. */
+    def rate(b: Array[Byte]): Option[Int] = {
+      if (b.length < 12 || !hasTag(b, 0, "RIFF") || !hasTag(b, 8, "WAVE"))
+        return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = readU32le(b, i + 4)
+        if (hasTag(b, i, "fmt ")) {
+          if (i + 16 > b.length) return None
+          return Some(readU32le(b, i + 12).toInt)
+        }
+        if (size < 0 || size > Int.MaxValue - 8) return None
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+  }
+
   /** ================== PARTIAL STUB ======================
-    * Image payloads are synthetic JPEGs and the decoder REALLY parses the
-    * SOF header ([[Jpeg.sofDims]]); audio/video stay a deterministic fake
-    * (no wav/mp4 in the fixtures yet — swapping in a real codec changes
-    * only those branches). One instance per partition (see decodeMeta) —
-    * real codecs are expensive to construct, so the per-partition
-    * lifecycle is the part worth getting right now.
+    * Image payloads are synthetic JPEGs whose SOF header the decoder
+    * REALLY parses ([[Jpeg.sofDims]]); audio payloads are synthetic
+    * RIFF/WAVE whose fmt chunk it really parses ([[Wav.rate]]); video
+    * stays a deterministic fake (no mp4 muxer worth faking — swapping in
+    * a real codec changes only that branch). One instance per partition
+    * (see decodeMeta) — real codecs are expensive to construct, so the
+    * per-partition lifecycle is the part worth getting right now.
     */
   final class StubDecoder {
     def decode(row: MediaRow): MediaMeta = {
@@ -101,9 +158,17 @@ object Multimodal {
             .getOrElse(((64 + n % 512).toInt, (64 + n % 384).toInt))
           MediaMeta(row.doc_id, row.kind, n,
             width = w, height = h, n_frames = 1, sample_rate = 0)
-        case "audio" => MediaMeta(row.doc_id, row.kind, n,
-          width = 0, height = 0, n_frames = (n / 100L).toInt + 1,
-          sample_rate = 16000)
+        case "audio" =>
+          val sr = Wav.rate(row.payload).getOrElse(16000)
+          // data-chunk seconds at the parsed rate (mono 16-bit), so
+          // n_frames derives from the REAL header too; non-WAVE bytes
+          // fall back to the length formula
+          val frames = Wav.rate(row.payload) match {
+            case Some(_) => ((n - Wav.Overhead) / 100L).toInt + 1
+            case None => (n / 100L).toInt + 1
+          }
+          MediaMeta(row.doc_id, row.kind, n,
+            width = 0, height = 0, n_frames = frames, sample_rate = sr)
         case _ => MediaMeta(row.doc_id, row.kind, n,
           width = (64 + n % 512).toInt, height = (64 + n % 384).toInt,
           n_frames = (n / 50L).toInt + 1, sample_rate = 0)
@@ -114,7 +179,8 @@ object Multimodal {
   /** Synthesize the opaque media table deterministically from documents
     * (kind cycles by doc_id). Image payloads are REAL minimal JPEGs (the
     * utf-8 text bytes wrapped in SOI/SOF0/EOI, dims embedded in the
-    * header); audio/video stay raw text bytes.
+    * header); audio payloads are REAL minimal RIFF/WAVE files (fmt chunk
+    * at 16 kHz, text bytes as the data chunk); video stays raw text bytes.
     */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -125,8 +191,13 @@ object Multimodal {
         .otherwise("video").as("kind"),
       encode(col("text"), "utf-8").as("payload")
     ).as[MediaRow]
-      .map(r =>
-        if (r.kind == "image") r.copy(payload = Jpeg.wrap(r.payload)) else r)
+      .map { r =>
+        r.kind match {
+          case "image" => r.copy(payload = Jpeg.wrap(r.payload))
+          case "audio" => r.copy(payload = Wav.wrap(r.payload, 16000))
+          case _ => r
+        }
+      }
   }
 
   /** Partition-batched decode: decoder constructed once per partition,
@@ -171,13 +242,16 @@ object Multimodal {
   def oracleSql: Map[String, String] = Map(
     // the decoder's outputs re-derived from octet_length in SQL: image
     // rows carry the 23-byte JPEG container (SOI+SOF0+EOI) whose embedded
-    // dims use the same closed-form length formulas the oracle computes
+    // dims use the same closed-form length formulas the oracle computes;
+    // audio rows carry the 44-byte RIFF/WAVE container whose fmt chunk
+    // embeds the 16 kHz rate the decoder parses back out
     "media_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          CAST(octet_length(encode(text))
-              + CASE WHEN doc_id % 3 = 0 THEN 23 ELSE 0 END AS BIGINT) AS n_bytes,
+              + CASE WHEN doc_id % 3 = 0 THEN 23
+                     WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END AS BIGINT) AS n_bytes,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0
               ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0

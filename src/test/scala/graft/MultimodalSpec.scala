@@ -44,6 +44,39 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02).map(_.toByte)) === None)
   }
 
+  test("wav wrap -> rate roundtrip; chunk walk skips unknown chunks") {
+    import graft.ops.Multimodal.Wav
+    for (n <- Seq(0, 1, 99, 1000); sr <- Seq(8000, 16000, 44100)) {
+      val data = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      val wav = Wav.wrap(data, sr)
+      assert(wav.length === n + Wav.Overhead)
+      assert(Wav.rate(wav) === Some(sr))
+    }
+    // RIFF + LIST chunk (odd size -> word-aligned skip) before fmt
+    val list = Array('L', 'I', 'S', 'T').map(_.toByte) ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val tailPart = Wav.wrap(Array[Byte](9), 22050).drop(12)
+    val bytes = Wav.wrap(Array.emptyByteArray, 1).take(12) ++ list ++ tailPart
+    assert(Wav.rate(bytes) === Some(22050))
+  }
+
+  test("malformed wav bytes yield None") {
+    import graft.ops.Multimodal.Wav
+    assert(Wav.rate(Array.emptyByteArray) === None)
+    assert(Wav.rate("RIFFnot a wave file".getBytes) === None)
+    assert(Wav.rate("not riff at all........".getBytes) === None)
+  }
+
+  test("media_meta audio rows carry header-parsed sample rate end-to-end") {
+    val rows = Multimodal.queries("media_meta")(spark, sf("0.001"))
+      .filter(col("kind") === "audio").limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Long]("n_bytes") >= 44L)
+    }
+  }
+
   test("media_meta image rows carry header-parsed dims end-to-end") {
     val rows = Multimodal.queries("media_meta")(spark, sf("0.001"))
       .filter(col("kind") === "image").limit(5).collect()
