@@ -29,11 +29,10 @@ object DedupStats {
     val dsh = d.select(col("doc_id"), GraftFunctions.word_shingles(tok, 3).as("sh"))
       .persist()
 
-    def banding(sig: DataFrame, banded: DataFrame, probed: DataFrame,
-        label: String): Unit = {
+    // same encoded single-long band keys as the production queries
+    def banding(banded: DataFrame, probed: DataFrame, label: String): Unit = {
       val raw = banded.as("x").join(probed.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       val distinctPairs = raw.distinct().count()
       println(f"$label%-10s candidates=$distinctPairs%,d " +
@@ -43,31 +42,21 @@ object DedupStats {
     // minhash: 16 bands x 4 rows, exact band-key join
     val mSig = dsh.select(col("doc_id"),
       GraftFunctions.minhash_sig(col("sh"), TrainingOps.MinHashK).as("sig"))
-    val rows = TrainingOps.MinHashK / TrainingOps.MinHashBands
     val mBanded = mSig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(TrainingOps.MinHashBands - 1)),
-        b => struct(b.as("band"),
-          slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    banding(mSig, mBanded, mBanded, "minhash")
+      explode(GraftFunctions.minhash_band_keys(col("sig"),
+        TrainingOps.MinHashBands)).as("bk"))
+    banding(mBanded, mBanded, "minhash")
 
     // simhash: 36 bands x 16 bits, hamming<=1 multi-probe join
-    val bandsPerSig = 64 / TrainingOps.SimHashBandBits
     val sSig = dsh.select(col("doc_id"),
       GraftFunctions.simhash_multi(col("sh"), TrainingOps.SimHashSigs).as("sigs"))
     val sBanded = sSig.select(col("doc_id"),
-      explode(flatten(transform(sequence(lit(0), lit(TrainingOps.SimHashSigs - 1)), si =>
-        transform(sequence(lit(0), lit(bandsPerSig - 1)), slot =>
-          struct((si * bandsPerSig + slot).as("band"),
-            call_function("shiftright", get(col("sigs"), si),
-              slot * TrainingOps.SimHashBandBits)
-              .bitwiseAND(lit(0xFFFFL)).as("key")))))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val masks = (Seq(0L) ++ (0 until 16).map(i => (1 << i).toLong))
-    val sProbed = sBanded.select(col("doc_id"), col("band"),
-      explode(transform(array(masks.map(lit(_)): _*),
-        m => col("key").bitwiseXOR(m))).as("key"))
-    banding(sSig, sBanded, sProbed, "simhash")
+      explode(GraftFunctions.simhash_band_keys(col("sigs"),
+        TrainingOps.SimHashBandBits)).as("bk"))
+    val sProbed = sSig.select(col("doc_id"),
+      explode(GraftFunctions.simhash_probe_keys(col("sigs"),
+        TrainingOps.SimHashBandBits)).as("bk"))
+    banding(sBanded, sProbed, "simhash")
 
     // ngram: co-shingle pairs off the (capped) inverted index
     val ex = dsh.select(col("doc_id"), explode(col("sh")).as("s"))

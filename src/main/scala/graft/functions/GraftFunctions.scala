@@ -43,6 +43,14 @@ object GraftFunctions {
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "merge_maps" -> ((exprs: Seq[Expression]) => MergeMaps(exprs(0), exprs(1))),
+    "simhash_band_keys" -> ((exprs: Seq[Expression]) => SimHashBandKeys(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "simhash_probe_keys" -> ((exprs: Seq[Expression]) => SimHashProbeKeys(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "minhash_band_keys" -> ((exprs: Seq[Expression]) => MinHashBandKeys(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])),
+    "hamming_total" -> ((exprs: Seq[Expression]) => HammingTotal(exprs(0), exprs(1))),
+    "match_count" -> ((exprs: Seq[Expression]) => MatchCount(exprs(0), exprs(1))),
     "json_flat_map" -> ((exprs: Seq[Expression]) => JsonFlatMap(exprs.head)),
     // centroid table arrives as a foldable array<array<float>> literal and
     // is baked into the expression at build time
@@ -120,6 +128,29 @@ object GraftFunctions {
   /** nSigs independent 64-bit SimHashes (array<long>) in one token pass. */
   def simhash_multi(c: Column, nSigs: Int): Column =
     call_function("simhash_multi", c, org.apache.spark.sql.functions.lit(nSigs))
+
+  /** Encoded (band << bandBits | key) LSH band keys of a multi-simhash. */
+  def simhash_band_keys(c: Column, bandBits: Int): Column =
+    call_function("simhash_band_keys", c,
+      org.apache.spark.sql.functions.lit(bandBits))
+
+  /** Multi-probe band keys (each band key XOR every Hamming<=1 mask). */
+  def simhash_probe_keys(c: Column, bandBits: Int): Column =
+    call_function("simhash_probe_keys", c,
+      org.apache.spark.sql.functions.lit(bandBits))
+
+  /** One hashed long per MinHash band (primitive LSH join key). */
+  def minhash_band_keys(c: Column, bands: Int): Column =
+    call_function("minhash_band_keys", c,
+      org.apache.spark.sql.functions.lit(bands))
+
+  /** Total Hamming distance between two array<long> signatures. */
+  def hamming_total(a: Column, b: Column): Column =
+    call_function("hamming_total", a, b)
+
+  /** Count of equal positions between two array<long> signatures. */
+  def match_count(a: Column, b: Column): Column =
+    call_function("match_count", a, b)
 
   /** Random-hyperplane signature (nBits packed in a long) of array<float>. */
   def rp_sign(c: Column, nBits: Int, seed: Long): Column = {

@@ -347,3 +347,256 @@ object SimHash64 {
     out
   }
 }
+
+/** Encoded band keys of a multi-signature simhash: for signature si and
+  * band slot b (bandBits wide), emit (globalBand << bandBits) | key as ONE
+  * long. The banding explode previously composed `transform(sequence(...))`
+  * higher-order functions — CodegenFallback, so the projection building
+  * 36 rows/doc (and 612/doc on the probe side) ran interpreted AND fell
+  * out of whole-stage codegen; the encoded single-long key also replaces a
+  * two-column (band, key) join key.
+  */
+case class SimHashBandKeys(child: Expression, bandBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash_band_keys requires array<long>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashBandKeys.keys(input.asInstanceOf[ArrayData], bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashBandKeys.keys($c, $bandBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_band_keys"
+}
+
+object SimHashBandKeys {
+  def keys(sigs: ArrayData, bandBits: Int): ArrayData = {
+    val perSig = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val nSigs = sigs.numElements()
+    val out = new Array[Long](nSigs * perSig)
+    var si = 0
+    var band = 0
+    while (si < nSigs) {
+      val sig = sigs.getLong(si)
+      var slot = 0
+      while (slot < perSig) {
+        out(band) = (band.toLong << bandBits) | ((sig >>> (slot * bandBits)) & mask)
+        band += 1
+        slot += 1
+      }
+      si += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Multi-probe variant of [[SimHashBandKeys]]: every band key XOR'd with
+  * each mask of band-Hamming <= 1 (bandBits + 1 masks), so the equi-join
+  * of exact keys against probe keys catches every pair whose band keys
+  * differ in at most one bit.
+  */
+case class SimHashProbeKeys(child: Expression, bandBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash_probe_keys requires array<long>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashProbeKeys.keys(input.asInstanceOf[ArrayData], bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashProbeKeys.keys($c, $bandBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashProbeKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_probe_keys"
+}
+
+object SimHashProbeKeys {
+  def keys(sigs: ArrayData, bandBits: Int): ArrayData = {
+    val perSig = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val nMasks = bandBits + 1
+    val nSigs = sigs.numElements()
+    val out = new Array[Long](nSigs * perSig * nMasks)
+    var si = 0
+    var band = 0
+    var o = 0
+    while (si < nSigs) {
+      val sig = sigs.getLong(si)
+      var slot = 0
+      while (slot < perSig) {
+        val key = (sig >>> (slot * bandBits)) & mask
+        val enc = band.toLong << bandBits
+        out(o) = enc | key
+        o += 1
+        var b = 0
+        while (b < bandBits) {
+          out(o) = enc | (key ^ (1L << b))
+          o += 1
+          b += 1
+        }
+        band += 1
+        slot += 1
+      }
+      si += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** One hashed long per MinHash band (the `rows`-wide signature slice mixed
+  * with a band-dependent seed): replaces the `slice()` array-valued join
+  * key — a 64-bit collision can only ADD a candidate pair, and every
+  * candidate is exact-verified downstream, so the result set is unchanged
+  * while the LSH join runs on a primitive key.
+  */
+case class MinHashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys requires array<long>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.keys(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashBandKeys.keys($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_band_keys"
+}
+
+object MinHashBandKeys {
+  def keys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L * (b + 1)
+      var r = 0
+      while (r < rows) {
+        h = Fingerprint64.mix(h ^ sig.getLong(b * rows + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Total Hamming distance between two equal-length array<long> signatures
+  * (sum of per-word popcounts of the XOR) — the simhash prefilter as one
+  * codegen'd call; the `aggregate(zip_with(..., bit_count(...)))`
+  * composition it replaces is a higher-order-function tree, which is
+  * CodegenFallback and excluded its projection from whole-stage codegen.
+  */
+case class HammingTotal(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def ok(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "hamming_total requires two array<long> arguments")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HammingTotal.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HammingTotal.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingTotal = copy(left = l, right = r)
+
+  override def prettyName: String = "hamming_total"
+}
+
+object HammingTotal {
+  def dist(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    d
+  }
+}
+
+/** Count of equal positions between two array<long> signatures — the
+  * MinHash prefilter (estimated-Jaccard bar) as one codegen'd call,
+  * replacing a `size(filter(zip_with(...)))` CodegenFallback tree.
+  */
+case class MatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def ok(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "match_count requires two array<long> arguments")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MatchCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MatchCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MatchCount = copy(left = l, right = r)
+
+  override def prettyName: String = "match_count"
+}
+
+object MatchCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}

@@ -86,10 +86,6 @@ object TrainingOps {
   val IvfCells = 32
   val IvfProbes = 20
 
-  /** 17 xor-masks enumerating band-Hamming <= 1 over 16 bits. */
-  private val SimHashProbeMasks: Seq[Long] =
-    (Seq(0) ++ (0 until 16).map(1 << _)).map(_.toLong)
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -459,23 +455,24 @@ object TrainingOps {
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
       val sig = dsh.select(col("doc_id"), minhash_sig(col("sh"), MinHashK).as("sig"))
-      val rows = MinHashK / MinHashBands
+      // one hashed long per band (native MinHashBandKeys, codegen'd):
+      // replaces the transform(sequence)+slice() composition whose
+      // higher-order functions are CodegenFallback and whose array-valued
+      // key made the LSH self-join compare 4-element arrays
       val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(MinHashBands - 1)),
-          b => struct(b.as("band"),
-            slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        explode(GraftFunctions.minhash_band_keys(col("sig"), MinHashBands))
+          .as("bk"))
       val candidates = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
       // signature prefilter before the exact-Jaccard join (recall budget in
-      // the MinHashPrefilterMin doc): slashes the verify join's input
+      // the MinHashPrefilterMin doc): slashes the verify join's input;
+      // match_count is the codegen'd form of the zip_with position count
       val prefiltered = candidates
         .join(sig.select(col("doc_id").as("ia"), col("sig").as("sa")), "ia")
         .join(sig.select(col("doc_id").as("ib"), col("sig").as("sb")), "ib")
-        .filter(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
-          m => m)) >= MinHashPrefilterMin)
+        .filter(GraftFunctions.match_count(col("sa"), col("sb"))
+          >= MinHashPrefilterMin)
         .select("ia", "ib")
       verifiedPairs(explodedIndex(dsh), shingleCounts(dsh), prefiltered, 9, 10)
     },
@@ -483,28 +480,26 @@ object TrainingOps {
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
       // 9 independent 64-bit simhashes in one token pass (one base hash per
-      // shingle, mixed per signature), sliced into 36 bands of 16 bits
+      // shingle, mixed per signature), sliced into 36 bands of 16 bits.
+      // Band keys come from native codegen'd expressions as ONE encoded
+      // long (band << 16 | key): the transform(sequence)/flatten
+      // higher-order composition they replace was CodegenFallback, so the
+      // projections emitting 36 exact + 612 probe rows per doc ran
+      // interpreted and fell out of whole-stage codegen.
       val sig = dsh.select(col("doc_id"),
         simhash_multi(col("sh"), SimHashSigs).as("sigs"))
-      val bandsPerSig = 64 / SimHashBandBits
       val banded = sig.select(col("doc_id"),
-        explode(flatten(transform(sequence(lit(0), lit(SimHashSigs - 1)), si =>
-          transform(sequence(lit(0), lit(bandsPerSig - 1)), slot =>
-            struct((si * bandsPerSig + slot).as("band"),
-              call_function("shiftright", get(col("sigs"), si),
-                slot * SimHashBandBits)
-                .bitwiseAND(lit(0xFFFFL)).as("key")))))).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        explode(GraftFunctions.simhash_band_keys(col("sigs"), SimHashBandBits))
+          .as("bk"))
       // one-sided multi-probe: the probe side emits key ^ mask for all 17
       // masks of Hamming weight <= 1, so the equi-join catches every pair
       // whose band keys differ in <= 1 bit (see SimHashSigs doc for the
       // recall budget); the exact side stays 36 rows/doc
-      val masks = array(SimHashProbeMasks.map(m => lit(m)): _*)
-      val probed = banded.select(col("doc_id"), col("band"),
-        explode(transform(masks, m => col("key").bitwiseXOR(m))).as("key"))
+      val probed = sig.select(col("doc_id"),
+        explode(GraftFunctions.simhash_probe_keys(col("sigs"), SimHashBandBits))
+          .as("bk"))
       val candidates = banded.as("x").join(probed.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       // Hamming prefilter over all 576 signature bits BEFORE the distinct
       // (cutoff budget in the SimHashSigs doc): the prefilter rejects
@@ -513,9 +508,8 @@ object TrainingOps {
       val prefiltered = candidates
         .join(sig.select(col("doc_id").as("ia"), col("sigs").as("sa")), "ia")
         .join(sig.select(col("doc_id").as("ib"), col("sigs").as("sb")), "ib")
-        .filter(aggregate(
-          zip_with(col("sa"), col("sb"), (a, b) => bit_count(a.bitwiseXOR(b))),
-          lit(0), (acc, x) => acc + x) <= SimHashHammingMax)
+        .filter(GraftFunctions.hamming_total(col("sa"), col("sb"))
+          <= SimHashHammingMax)
         .select("ia", "ib").distinct()
       verifiedPairs(explodedIndex(dsh), shingleCounts(dsh), prefiltered, 9, 10)
     },

@@ -29,4 +29,17 @@ class DedupSpec extends SparkSpec {
     assert(ids("dedup_minhash") === ngram)
     assert(ids("dedup_simhash") === ngram)
   }
+
+  test("mechanisms still agree at sf0.1 (CLAUDE.md banding invariant)") {
+    // the invariant: re-check recall at the larger sf whenever
+    // signatures/banding/thresholds change — candidate generation bugs
+    // that sf0.001 can't expose (bucket collisions, probe coverage) show
+    // up here as missing pairs vs the exact inverted-index mechanism
+    def ids(name: String) = graft.ops.TrainingOps.queries(name)(spark, sf("0.1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = ids("dedup_ngram")
+    assert(ngram.nonEmpty)
+    assert(ids("dedup_minhash") === ngram)
+    assert(ids("dedup_simhash") === ngram)
+  }
 }
