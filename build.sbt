@@ -39,13 +39,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench run). Paying the page-fault cost once at JVM start removes the
   // pauses from the measured region; gate on env because unit-test JVMs
   // don't need a pre-touched 32 g heap.
-)
-// Preallocate + pre-touch the heap for `run` JVMs (Bench/Verify/ScaleBench):
-// this VM's host serves fresh pages SLOWLY (measured: young-GC copies into
-// newly-grown heap at ~100-250 MB/s — single pauses up to 18 s, ~95 s total
-// STW in one bench run; with pre-touch the max pause drops to ~1.7 s and
-// 32-core throughput nearly doubles). Unit-test JVMs skip it: they don't
-// need a pre-touched 32 g heap per launch.
-run / javaOptions ++= Seq(
+  // Preallocate the heap (-Xms = -Xmx): this VM's host serves fresh pages
+  // SLOWLY (measured: young-GC copies into a newly-GROWN heap at
+  // ~100-250 MB/s — single pauses up to 18 s, ~95 s total STW in one
+  // bench run). A fixed-size heap keeps region boundaries stable so the
+  // page-fault cost lands once, during the bench warmup trials, instead
+  // of inside measured young collections as the heap expands.
+  // -XX:+AlwaysPreTouch would remove even the warmup faults but costs
+  // ~3 min of page-zeroing per JVM launch on this host (measured) — set
+  // SPARK_GRAFT_PRETOUCH=1 to add it for GC investigations.
+  // Plain javaOptions level because `runMain` — what the round driver
+  // invokes — does NOT delegate to `run / javaOptions`; Test strips the
+  // preallocation below (test JVMs don't need a 32 g commit per launch).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  "-XX:+AlwaysPreTouch")
+) ++ (if (sys.env.contains("SPARK_GRAFT_PRETOUCH")) Seq("-XX:+AlwaysPreTouch")
+      else Seq.empty)
+Test / javaOptions ~= (_.filterNot(o =>
+  o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch"))

@@ -216,13 +216,15 @@ object ScaleBench {
          |section (the plan is unchanged shape: linear operators, one
          |bounded shuffle, broadcast joins only).
          |
-         |## Heap pre-touch
+         |## Heap preallocation
          |
-         |The host serves fresh pages at ~100-250 MB/s: with a lazily-grown
+         |The host serves fresh pages at ~100-250 MB/s: with a lazily-GROWN
          |heap, young-GC copies stalled up to 18 s per pause (~95 s total
-         |STW in one bench run). All `run` JVMs now start with
-         |-Xms=SPARK_DRIVER_MEM -XX:+AlwaysPreTouch; max pause drops to
-         |~1.7 s and 32-core throughput nearly doubles.
+         |STW in one bench run). Bench JVMs now start with -Xms = -Xmx so
+         |region boundaries are stable and the page-fault cost lands in the
+         |warmup trials, not in measured collections (full -XX:+AlwaysPreTouch
+         |also works — max pause ~1.7 s — but costs ~3 min of page-zeroing
+         |per JVM launch on this host; opt-in via SPARK_GRAFT_PRETOUCH=1).
          |
          |## Shuffle width derivation
          |
