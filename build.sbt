@@ -33,12 +33,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // batch-throughput GC: the parse stage allocates heavily (maps/strings);
   // ParallelGC beats G1 for short-lived garbage at local[32]
   "-XX:+UseParallelGC",
-  // Preallocate + pre-touch the heap: this VM's host serves fresh pages
-  // SLOWLY (measured: young-GC copies into newly-grown heap at
-  // ~100-250 MB/s, single pauses up to 18 s — ~95 s of total STW in one
-  // bench run). Paying the page-fault cost once at JVM start removes the
-  // pauses from the measured region; gate on env because unit-test JVMs
-  // don't need a pre-touched 32 g heap.
   // Preallocate the heap (-Xms = -Xmx): this VM's host serves fresh pages
   // SLOWLY (measured: young-GC copies into a newly-GROWN heap at
   // ~100-250 MB/s — single pauses up to 18 s, ~95 s total STW in one

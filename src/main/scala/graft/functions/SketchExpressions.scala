@@ -522,15 +522,19 @@ case class HammingTotal(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // containsNull inputs are rejected at ANALYSIS time: getLong would read a
+  // null slot as 0 and silently mis-measure. Inputs are always sketch
+  // outputs (minhash_sig / simhash_multi), which declare containsNull=false.
   private def ok(dt: DataType) = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, containsNull) => !containsNull
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "hamming_total requires two array<long> arguments")
+      "hamming_total requires two array<long containsNull=false> arguments " +
+        "(sketch signatures; null slots have no Hamming semantics)")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HammingTotal.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -546,7 +550,11 @@ case class HammingTotal(left: Expression, right: Expression)
 
 object HammingTotal {
   def dist(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // signatures are fixed-length by construction; a mismatch is a caller
+    // bug that the old math.min truncation would have silently absorbed
+    require(b.numElements() == n,
+      s"hamming_total: signature lengths differ ($n vs ${b.numElements()})")
     var d = 0
     var i = 0
     while (i < n) {
@@ -566,15 +574,18 @@ case class MatchCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // same analysis-time containsNull rejection as HammingTotal: a null slot
+  // read as 0 could spuriously "match" and inflate the estimated Jaccard
   private def ok(dt: DataType) = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, containsNull) => !containsNull
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "match_count requires two array<long> arguments")
+      "match_count requires two array<long containsNull=false> arguments " +
+        "(sketch signatures; null slots have no match semantics)")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     MatchCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -590,7 +601,9 @@ case class MatchCount(left: Expression, right: Expression)
 
 object MatchCount {
   def count(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"match_count: signature lengths differ ($n vs ${b.numElements()})")
     var c = 0
     var i = 0
     while (i < n) {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions.{cosine_sim, fingerprint64, minhash_sig, rp_project, rp_sign, simhash_multi}
+import graft.state.{ParquetFormat, TableFormat}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -257,41 +258,69 @@ object TrainingOps {
   }
 
   /** On-disk home of the persisted IVF index for a given data dir (tmpfs —
-    * the sandbox stand-in for the object store an index service would use).
+    * the sandbox stand-in for the object store an index service would use;
+    * IO goes through the [[graft.state.TableFormat]] seam, so the
+    * one-line-Iceberg production binding covers the ANN artifact too).
+    *
+    * The path is keyed by BOTH the data dir and a corpus fingerprint
+    * (file-level name/size/mtime of the embeddings table): regenerating
+    * the corpus at the same path changes the fingerprint, so a stale index
+    * can never be served for new data (it simply isn't found, and serve
+    * rebuilds).
     */
-  def ivfIndexDir(dir: String): String =
-    "/dev/shm/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  def ivfIndexDir(s: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val manifest = fs.listStatus(src)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val fp = java.lang.Long.toHexString(graft.functions.Fingerprint64.hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(manifest)))
+    "/dev/shm/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fp
+  }
 
   /** Build and PERSIST the index artifact — the deployment shape of a
     * 100 TB similarity service, where index construction (k-means over the
-    * corpus) and query serving are separately provisioned jobs. Writes
-    * `assignments` (nid, nv, cell — the corpus bucketed by cell) first and
-    * `centroids` last, so a complete `centroids` write marks the index
-    * valid (same commit-after-data ordering as the pipeline manifest);
-    * overwrite mode keeps rebuilds idempotent. Returns the centroid table.
+    * corpus) and query serving are separately provisioned jobs. The build
+    * STAGES into a fresh temp dir (`assignments` = the corpus bucketed by
+    * cell, then `centroids`) and swaps it in with one directory rename, so
+    * a crash at any point leaves either the previous index fully intact or
+    * no index at all (serve rebuilds) — never fresh assignments paired
+    * with stale centroids, which an in-place overwrite permits during the
+    * window between the two table writes. A complete `centroids` write
+    * (its _SUCCESS marker) marks the index valid, same commit-after-data
+    * ordering as the pipeline manifest. Returns the centroid table.
     */
-  def buildIvfIndex(s: SparkSession, dir: String, cells: Int): DataFrame = {
+  def buildIvfIndex(s: SparkSession, dir: String, cells: Int,
+      fmt: TableFormat = ParquetFormat): DataFrame = {
     val (_, cand) = ivfInputs(s, dir)
     val slots = ivfLloyd(cand, cells)
-    val idx = ivfIndexDir(dir)
-    ivfAssign(cand, slots).write.mode("overwrite").parquet(s"$idx/assignments")
-    ivfCentsFrame(s, slots).write.mode("overwrite").parquet(s"$idx/centroids")
-    s.read.parquet(s"$idx/centroids")
+    val idx = ivfIndexDir(s, dir)
+    val tmp = idx + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+    fmt.overwritePartitions(ivfAssign(cand, slots), s"$tmp/assignments", Seq.empty)
+    fmt.overwritePartitions(ivfCentsFrame(s, slots), s"$tmp/centroids", Seq.empty)
+    val fsPath = new org.apache.hadoop.fs.Path(idx)
+    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    fmt.readSnapshot(s, s"$idx/centroids")
   }
 
   /** Serve queries from the PERSISTED index: no k-means, no corpus-wide
     * scan — read centroids (tiny, broadcast), probe, and rerank inside the
     * probed cells of the bucketed assignments table. Builds the index
-    * first if it is absent; rows are identical to ann_ivf by construction
-    * (pinned by SketchSpec).
+    * first if absent for this corpus fingerprint; rows are identical to
+    * ann_ivf by construction (pinned by SketchSpec).
     */
-  def annIvfServe(s: SparkSession, dir: String, probes: Int): DataFrame = {
-    val idx = ivfIndexDir(dir)
-    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
-      buildIvfIndex(s, dir, IvfCells)
+  def annIvfServe(s: SparkSession, dir: String, probes: Int,
+      fmt: TableFormat = ParquetFormat): DataFrame = {
+    val idx = ivfIndexDir(s, dir)
+    if (!fmt.exists(s, s"$idx/centroids/_SUCCESS"))
+      buildIvfIndex(s, dir, IvfCells, fmt)
     val (q, _) = ivfInputs(s, dir)
-    ivfProbeRerank(q, s.read.parquet(s"$idx/assignments"),
-      s.read.parquet(s"$idx/centroids"), probes)
+    ivfProbeRerank(q, fmt.readSnapshot(s, s"$idx/assignments"),
+      fmt.readSnapshot(s, s"$idx/centroids"), probes)
   }
 
   /** n-gram Jaccard dedup with the stop-shingle cap. The cap keeps the
@@ -561,11 +590,15 @@ object TrainingOps {
     // similarity service ships); serve answers queries from the artifact
     // alone — k-means never runs at query time. Bench therefore times
     // index-build and query-serve separately (alphabetical order runs
-    // build first). Rows: build returns the deterministic centroid table;
-    // serve returns exactly ann_ivf's rows (SketchSpec-pinned).
+    // build first). Rows: build returns the deterministic centroid table
+    // EXPLODED to scalar (cell, pos, val) — the driver's rows-only checker
+    // canonicalizes by sorting columns and crashed on an array<float>
+    // column (CORRECTNESS_r03); SketchSpec pins the same values in vector
+    // form. Serve returns exactly ann_ivf's rows (SketchSpec-pinned).
     "ann_ivf_build" -> { (s, dir) =>
-      buildIvfIndex(s, dir, IvfCells).orderBy("cell")
-        .select(col("cell"), col("cv"))
+      buildIvfIndex(s, dir, IvfCells)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "val")))
+        .orderBy("cell", "pos")
     },
     "ann_ivf_serve" -> { (s, dir) => annIvfServe(s, dir, IvfProbes) },
     "ann_rp_rerank" -> { (s, dir) =>

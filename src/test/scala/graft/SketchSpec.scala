@@ -70,15 +70,35 @@ class SketchSpec extends SparkSpec {
   test("ann_ivf_serve from the persisted index returns exactly ann_ivf's rows") {
     def rows(name: String) = graft.ops.TrainingOps.queries(name)(spark, sf("0.01"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-    // build explicitly (idempotent overwrite), then serve reads the artifact
-    val cents = graft.ops.TrainingOps.queries("ann_ivf_build")(spark, sf("0.01"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    assert(cents.length === graft.ops.TrainingOps.IvfCells)
+    // build explicitly (idempotent atomic swap), then serve reads the
+    // artifact; build's query shape is scalar (cell, pos, val)
+    def buildTriples() = graft.ops.TrainingOps.queries("ann_ivf_build")(spark, sf("0.01"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2))).toSeq
+    val cents = buildTriples()
+    assert(cents.map(_._1).distinct.length === graft.ops.TrainingOps.IvfCells)
     assert(rows("ann_ivf_serve") === rows("ann_ivf"))
     // rebuild is deterministic: same centroid bytes
-    val cents2 = graft.ops.TrainingOps.queries("ann_ivf_build")(spark, sf("0.01"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    assert(cents2 === cents)
+    assert(buildTriples() === cents)
+  }
+
+  test("ivf index dir is keyed by a corpus fingerprint, not just the path") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(sf("0.001"), "embeddings.parquet")
+    val tmpRoot = Files.createTempDirectory("ivf_fp_test")
+    val dataDir = tmpRoot.resolve("corpus")
+    Files.createDirectories(dataDir)
+    val dst = dataDir.resolve("embeddings.parquet")
+    // testdata tables are single parquet files
+    Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES,
+      StandardCopyOption.REPLACE_EXISTING)
+    val idx1 = graft.ops.TrainingOps.ivfIndexDir(spark, dataDir.toString)
+    // regenerate the corpus at the SAME path with a different mtime: the
+    // index home must move so a pre-existing index is never served stale
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(123456789000L))
+    val idx2 = graft.ops.TrainingOps.ivfIndexDir(spark, dataDir.toString)
+    assert(idx1 !== idx2)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
   }
 
   test("text_fingerprint golden values are stable across runs") {
