@@ -19,14 +19,18 @@ object Enrich {
     else df.withColumn(field, coalesce(col(field), value))
 
   /** insert_field into the open-schema `fields` map (the reference's JSON
-    * object). Avoids map_concat duplicate-key errors by filtering first.
+    * object). The overwrite branch is merge_maps (native, codegen'd —
+    * upper side wins, which IS insert-overwrite); the previous map_filter
+    * composition was a higher-order function and therefore CodegenFallback,
+    * excluding any projection containing it from whole-stage codegen.
     */
   def insertMapField(fields: Column, key: String, value: Column, overwrite: Boolean): Column = {
-    val added = map_concat(fields, map(lit(key), value.cast("string")))
+    import graft.functions.GraftFunctions.merge_maps
     if (overwrite)
-      map_concat(map_filter(fields, (k, _) => k =!= key), map(lit(key), value.cast("string")))
+      merge_maps(fields, map(lit(key), value.cast("string")))
     else
-      when(map_contains_key(fields, lit(key)), fields).otherwise(added)
+      when(map_contains_key(fields, lit(key)), fields)
+        .otherwise(map_concat(fields, map(lit(key), value.cast("string"))))
   }
 
   /** insert_ts with an injected run clock (insert_ts.rs:78-91; wall-clock
@@ -62,22 +66,13 @@ object Enrich {
     * duplicate-keyed logfmt through this transform.
     */
   def logfmtMergeField(fields: Column, field: String, overwrite: Boolean): Column = {
-    import graft.functions.GraftFunctions.{logfmt_parse, merge_maps}
-    val parsed = logfmt_parse(try_element_at(fields, lit(field)))
-    val without = map_filter(fields, (k, _) => k =!= field) // pop (logfmt.rs:75)
-    val merged =
-      if (overwrite)
-        // incoming pair wins on collision
-        merge_maps(without, parsed)
-      else {
-        val renamed = transform_keys(parsed, (k, _) =>
-          when(map_contains_key(without, k), concat(lit(field), lit("."), k))
-            .otherwise(k))
-        // merge_maps (not bare map_concat): a renamed "<field>.<key>" that
-        // already exists in the event must overwrite, not throw
-        merge_maps(without, renamed)
-      }
-    when(parsed.isNotNull, merged).otherwise(fields)
+    import graft.functions.GraftFunctions.{logfmt_parse, merge_maps_field}
+    // pop + rename-on-collision + merge + null-parsed-passthrough all live
+    // in ONE native expression: the map_filter/transform_keys composition
+    // this replaces was CodegenFallback and ran any route putting
+    // T4-as-transform on the hot path interpreted (round-2 hazard class)
+    merge_maps_field(fields,
+      logfmt_parse(try_element_at(fields, lit(field))), field, overwrite)
   }
 
   /** The default role/tool metadata lookup (FIXTURES.md §3). Tiny: always a

@@ -43,6 +43,9 @@ object GraftFunctions {
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "merge_maps" -> ((exprs: Seq[Expression]) => MergeMaps(exprs(0), exprs(1))),
+    "merge_maps_field" -> ((exprs: Seq[Expression]) => MergeFieldMaps(exprs(0),
+      exprs(1), exprs(2).eval().toString,
+      exprs(3).eval().asInstanceOf[Boolean])),
     "simhash_band_keys" -> ((exprs: Seq[Expression]) => SimHashBandKeys(exprs(0),
       exprs(1).eval().asInstanceOf[Int])),
     "simhash_probe_keys" -> ((exprs: Seq[Expression]) => SimHashProbeKeys(exprs(0),
@@ -169,6 +172,17 @@ object GraftFunctions {
     */
   def merge_maps(lower: Column, upper: Column): Column =
     call_function("merge_maps", lower, upper)
+
+  /** The logfmt-transform merge (pop `field`, merge `parsed` in, rename
+    * collisions "<field>.<key>" unless overwrite; null `parsed` returns
+    * `fields` unchanged) as one codegen'd expression — the map_filter /
+    * transform_keys composition it replaces was CodegenFallback.
+    */
+  def merge_maps_field(fields: Column, parsed: Column, field: String,
+      overwrite: Boolean): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("merge_maps_field", fields, parsed, lit(field), lit(overwrite))
+  }
 
   /** from_json(c, map<string,string>) as a codegen'd expression (null for
     * anything but a JSON object) — keeps projections containing the JSON

@@ -118,3 +118,185 @@ object MergeMaps {
     new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
       new GenericArrayData(Array.empty[Any]))
 }
+
+/** The full logfmt-TRANSFORM merge (log-ship/src/plugins/logfmt.rs:75-95) as
+  * ONE codegen'd expression: pop key `field` from the event map, then merge
+  * the separately-parsed `parsed` map in; with overwrite=false an incoming
+  * key that collides with a surviving event key is renamed
+  * `"<field>.<key>"`, and a (possibly renamed) key that still collides
+  * overwrites (serde_json insert — last write wins).
+  *
+  * Replaces the `map_filter` (pop) + `transform_keys` (rename) + `when`
+  * composition: both HOFs are CodegenFallback, and a single fallback
+  * expression excludes its WHOLE operator from whole-stage codegen — the
+  * exact hazard class that cost the round-2 parse stage 3-5x. This
+  * expression needed custom null handling anyway: a null `parsed` (field
+  * absent / not logfmt) must return `fields` UNCHANGED, not null, which no
+  * null-safe binary template expresses.
+  *
+  * Deviation from the composition (not the reference): two parsed keys that
+  * rename to the SAME final key resolve last-wins here, where
+  * `transform_keys` throws DUPLICATED_MAP_KEY under Spark's default dedup
+  * policy; last-wins matches the reference's sequential insert loop.
+  */
+case class MergeFieldMaps(fields: Expression, parsed: Expression,
+    field: String, overwrite: Boolean) extends BinaryExpression {
+
+  override def left: Expression = fields
+  override def right: Expression = parsed
+
+  // null parsed returns fields, so null-ness tracks fields alone
+  override def nullable: Boolean = fields.nullable
+
+  override def dataType: DataType = {
+    val vNull = Seq(fields, parsed).exists {
+      _.dataType match {
+        case MapType(_, _, n) => n
+        case _ => true
+      }
+    }
+    MapType(StringType, StringType, valueContainsNull = vNull)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def strOrVoid(dt: DataType): Boolean =
+      dt == StringType || dt == org.apache.spark.sql.types.NullType
+    val ok = Seq(fields, parsed).forall {
+      _.dataType match {
+        case MapType(k, v, _) => strOrVoid(k) && strOrVoid(v)
+        case _ => false
+      }
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "merge_maps_field requires two map<string,string> arguments")
+  }
+
+  @transient private lazy val fieldU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(field)
+  @transient private lazy val prefixU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(field + ".")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = fields.eval(input)
+    if (f == null) return null
+    val p = parsed.eval(input)
+    if (p == null) f
+    else MergeFieldMaps.merge(f.asInstanceOf[MapData], p.asInstanceOf[MapData],
+      fieldU8, prefixU8, overwrite)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val fGen = fields.genCode(ctx)
+    val pGen = parsed.genCode(ctx)
+    val fieldRef = ctx.addReferenceObj("mfmField", fieldU8)
+    val prefixRef = ctx.addReferenceObj("mfmPrefix", prefixU8)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${fGen.code}
+      boolean ${ev.isNull} = ${fGen.isNull};
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${ev.isNull}) {
+        ${pGen.code}
+        if (${pGen.isNull}) {
+          ${ev.value} = ${fGen.value};
+        } else {
+          ${ev.value} = graft.functions.MergeFieldMaps.merge(
+            ${fGen.value}, ${pGen.value}, $fieldRef, $prefixRef, $overwrite);
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MergeFieldMaps =
+    copy(fields = newLeft, parsed = newRight)
+
+  override def prettyName: String = "merge_maps_field"
+}
+
+object MergeFieldMaps {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Pop `field` from `fields`, rename colliding parsed keys (unless
+    * overwrite), merge last-write-wins. Small-map nested scans, same
+    * rationale as [[MergeMaps.merge]].
+    */
+  def merge(fields: MapData, parsed: MapData, field: UTF8String,
+      prefix: UTF8String, overwrite: Boolean): MapData = {
+    val fn = fields.numElements()
+    val pn = parsed.numElements()
+    val fk = fields.keyArray(); val fv = fields.valueArray()
+    val pk = parsed.keyArray(); val pv = parsed.valueArray()
+
+    // does the popped event map (fields minus `field`) contain key k?
+    def survivorHas(k: UTF8String): Boolean = {
+      var i = 0
+      while (i < fn) {
+        val ek = fk.getUTF8String(i)
+        if (!ek.equals(field) && ek.equals(k)) return true
+        i += 1
+      }
+      false
+    }
+
+    // final (possibly renamed) key of every parsed entry
+    val rk = new Array[UTF8String](pn)
+    var j = 0
+    while (j < pn) {
+      val k = pk.getUTF8String(j)
+      rk(j) = if (!overwrite && survivorHas(k)) UTF8String.concat(prefix, k) else k
+      j += 1
+    }
+
+    val keys = new Array[Any](fn + pn)
+    val vals = new Array[Any](fn + pn)
+    var cnt = 0
+    // surviving event keys not overwritten by a final parsed key
+    var i = 0
+    while (i < fn) {
+      val ek = fk.getUTF8String(i)
+      if (!ek.equals(field)) {
+        var hit = false
+        var x = 0
+        while (x < pn && !hit) {
+          if (rk(x).equals(ek)) hit = true
+          x += 1
+        }
+        if (!hit) {
+          keys(cnt) = ek
+          vals(cnt) = if (fv.isNullAt(i)) null else fv.getUTF8String(i)
+          cnt += 1
+        }
+      }
+      i += 1
+    }
+    // parsed entries under their final keys; intra-parsed collisions after
+    // rename resolve last-wins (sequential insert semantics)
+    j = 0
+    while (j < pn) {
+      var laterDup = false
+      var x = j + 1
+      while (x < pn && !laterDup) {
+        if (rk(x).equals(rk(j))) laterDup = true
+        x += 1
+      }
+      if (!laterDup) {
+        keys(cnt) = rk(j)
+        vals(cnt) = if (pv.isNullAt(j)) null else pv.getUTF8String(j)
+        cnt += 1
+      }
+      j += 1
+    }
+    if (cnt == keys.length) {
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    } else {
+      val k2 = new Array[Any](cnt); val v2 = new Array[Any](cnt)
+      System.arraycopy(keys, 0, k2, 0, cnt)
+      System.arraycopy(vals, 0, v2, 0, cnt)
+      new ArrayBasedMapData(new GenericArrayData(k2), new GenericArrayData(v2))
+    }
+  }
+}

@@ -44,6 +44,46 @@ class EnrichSpec extends SparkSpec {
     assert(mapOf(out, "m") === Map("x" -> "1"))
   }
 
+  test("logfmt merge: renamed key overwrites a pre-existing field.key entry") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(1).select(
+      map(lit("message"), lit("a=1"), lit("a"), lit("keep"),
+        lit("message.a"), lit("stale")).as("f"))
+    val out = df.select(
+      Enrich.logfmtMergeField(col("f"), "message", overwrite = false).as("m"))
+    // "a" collides -> renamed "message.a", which overwrites the stale entry
+    assert(mapOf(out, "m") === Map("a" -> "keep", "message.a" -> "1"))
+  }
+
+  test("logfmt merge: null event map stays null") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(1).select(
+      lit(null).cast("map<string,string>").as("f"))
+    val out = df.select(
+      Enrich.logfmtMergeField(col("f"), "message", overwrite = false).as("m"))
+    assert(out.head().isNullAt(0))
+  }
+
+  test("logfmt merge and insertMapField projections stay in whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    // the compositions these replaced (map_filter / transform_keys) are
+    // higher-order functions = CodegenFallback, and ONE fallback expression
+    // excludes the entire operator from WholeStageCodegen (the round-2
+    // parse-stage regression class); a fused plan prints `*(n) Project`
+    val df = spark.range(4).select(
+      map(lit("message"), concat(lit("a="), col("id")), lit("a"), lit("x")).as("f"))
+    def fused(out: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), s"projection not fused:\n$plan")
+    }
+    fused(df.select(
+      Enrich.logfmtMergeField(col("f"), "message", overwrite = false).as("m")))
+    fused(df.select(
+      Enrich.logfmtMergeField(col("f"), "message", overwrite = true).as("m")))
+    fused(df.select(
+      Enrich.insertMapField(col("f"), "k", lit("v"), overwrite = true).as("m")))
+  }
+
   test("insertMapField matrix matches insert_field.rs:84-86") {
     GraftFunctions.ensureRegistered(spark)
     val base = map(lit("k"), lit("v"))
