@@ -138,22 +138,125 @@ object Multimodal {
     }
   }
 
-  /** ================== PARTIAL STUB ======================
-    * Image payloads are synthetic JPEGs whose SOF header the decoder
-    * REALLY parses ([[Jpeg.sofDims]]); audio payloads are synthetic
-    * RIFF/WAVE whose fmt chunk it really parses ([[Wav.rate]]); video
-    * stays a deterministic fake (no mp4 muxer worth faking — swapping in
-    * a real codec changes only that branch). One instance per partition
-    * (see decodeMeta) — real codecs are expensive to construct, so the
-    * per-partition lifecycle is the part worth getting right now.
+  /** Minimal-but-REAL ISO BMFF (MP4/MOV) container handling, pure JVM
+    * byte scanning: [[wrap]] builds `ftyp` + `moov`(`mvhd` with
+    * timescale/duration + `trak`/`tkhd` with 16.16 fixed-point
+    * width/height) + `mdat` carrying the raw bytes; [[meta]] walks the box
+    * tree (size-prefixed big-endian boxes) back to those fields — the
+    * same byte-level discipline as [[Jpeg.sofDims]] / [[Wav.rate]].
+    * 64-bit (`size==1`) and to-end-of-file (`size==0`) boxes are treated
+    * as malformed: the synthesizer never emits them and the decode policy
+    * is warn-don't-throw fallback anyway.
+    */
+  object Mp4 {
+    /** Video "frame rate" and mvhd timescale: duration is written in
+      * frame ticks at timescale==fps, so n_frames = duration·fps/timescale
+      * = duration.
+      */
+    val Fps = 25
+
+    /** ftyp(16) + moov hdr(8) + mvhd(108) + trak hdr(8) + tkhd(92) +
+      * mdat hdr(8).
+      */
+    val Overhead = 240
+
+    private def u32be(out: Array[Byte], off: Int, v: Int): Unit = {
+      out(off) = ((v >> 24) & 0xff).toByte; out(off + 1) = ((v >> 16) & 0xff).toByte
+      out(off + 2) = ((v >> 8) & 0xff).toByte; out(off + 3) = (v & 0xff).toByte
+    }
+    private def tag(out: Array[Byte], off: Int, s: String): Unit =
+      s.getBytes.copyToArray(out, off)
+    private def readU32be(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private def hasType(b: Array[Byte], off: Int, s: String): Boolean =
+      s.getBytes.zipWithIndex.forall { case (c, i) => b(off + i) == c }
+
+    def wrap(data: Array[Byte], w: Int, h: Int, frames: Int): Array[Byte] = {
+      val out = new Array[Byte](data.length + Overhead)
+      // ftyp: isom major brand, minor version 512
+      u32be(out, 0, 16); tag(out, 4, "ftyp"); tag(out, 8, "isom"); u32be(out, 12, 512)
+      // moov container = mvhd + trak
+      u32be(out, 16, 8 + 108 + 8 + 92); tag(out, 20, "moov")
+      // mvhd v0: creation/modification 0, timescale=Fps, duration=frames,
+      // rate 1.0 (16.16), volume 1.0 (8.8), next_track_ID 2
+      val mv = 24
+      u32be(out, mv, 108); tag(out, mv + 4, "mvhd")
+      u32be(out, mv + 20, Fps); u32be(out, mv + 24, frames)
+      u32be(out, mv + 28, 0x00010000); out(mv + 32) = 0x01
+      u32be(out, mv + 104, 2)
+      // trak container = tkhd
+      val tk = mv + 108
+      u32be(out, tk, 8 + 92); tag(out, tk + 4, "trak")
+      // tkhd v0 (flags: enabled|in-movie): track_ID 1, duration=frames,
+      // identity matrix, width/height in 16.16 fixed point
+      val th = tk + 8
+      u32be(out, th, 92); tag(out, th + 4, "tkhd")
+      u32be(out, th + 8, 0x00000003)
+      u32be(out, th + 20, 1); u32be(out, th + 28, frames)
+      u32be(out, th + 48, 0x00010000); u32be(out, th + 64, 0x00010000)
+      u32be(out, th + 80, 0x40000000) // matrix diag 1,1,16384(2.30)
+      u32be(out, th + 84, w << 16); u32be(out, th + 88, h << 16)
+      // mdat with the raw bytes as stand-in sample data
+      val md = th + 92
+      u32be(out, md, 8 + data.length); tag(out, md + 4, "mdat")
+      System.arraycopy(data, 0, out, md + 8, data.length)
+      out
+    }
+
+    /** First box of `typ` in [start, end): payload bounds (after the
+      * 8-byte header). None on malformed sizes.
+      */
+    private def findBox(b: Array[Byte], start: Int, end: Int,
+        typ: String): Option[(Int, Int)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = readU32be(b, i)
+        if (size < 8 || i + size > end) return None
+        if (hasType(b, i + 4, typ)) return Some((i + 8, i + size.toInt))
+        i += size.toInt
+      }
+      None
+    }
+
+    /** (width, height, n_frames) from moov/mvhd + moov/trak/tkhd; None
+      * when the bytes aren't a parseable version-0 MP4 (malformed →
+      * caller falls back).
+      */
+    def meta(b: Array[Byte]): Option[(Int, Int, Int)] =
+      for {
+        (ms, me) <- findBox(b, 0, b.length, "moov")
+        (hs, he) <- findBox(b, ms, me, "mvhd")
+        if he - hs >= 100 && b(hs) == 0 // version-0 layout only
+        (ts, te) <- findBox(b, ms, me, "trak")
+        (ks, ke) <- findBox(b, ts, te, "tkhd")
+        if ke - ks >= 84 && b(ks) == 0
+      } yield {
+        val timescale = readU32be(b, hs + 12)
+        val duration = readU32be(b, hs + 16)
+        val frames =
+          if (timescale == 0) 0 else (duration * Fps / timescale).toInt
+        val w = (readU32be(b, ks + 76) >> 16).toInt
+        val h = (readU32be(b, ks + 80) >> 16).toInt
+        (w, h, frames)
+      }
+  }
+
+  /** The media decoder: every branch REALLY parses its container header —
+    * JPEG SOF ([[Jpeg.sofDims]]), RIFF/WAVE fmt ([[Wav.rate]]), MP4
+    * moov/mvhd/tkhd ([[Mp4.meta]]) — with a deterministic length-formula
+    * fallback for unparseable bytes (the warn-don't-throw decode policy).
+    * What stays stubbed is pixel/sample decode itself: the payloads carry
+    * text bytes, not entropy-coded streams, and this container ships no
+    * codec libraries. One instance per partition (see decodeMeta) — real
+    * codecs are expensive to construct, so the per-partition lifecycle is
+    * the part worth getting right now.
     */
   final class StubDecoder {
     def decode(row: MediaRow): MediaMeta = {
       val n = row.payload.length.toLong
       row.kind match {
         case "image" =>
-          // real header parse; length-formula fallback only for bytes
-          // that aren't a JPEG (the warn-don't-throw decode policy)
           val (w, h) = Jpeg.sofDims(row.payload)
             .getOrElse(((64 + n % 512).toInt, (64 + n % 384).toInt))
           MediaMeta(row.doc_id, row.kind, n,
@@ -169,9 +272,12 @@ object Multimodal {
           }
           MediaMeta(row.doc_id, row.kind, n,
             width = 0, height = 0, n_frames = frames, sample_rate = sr)
-        case _ => MediaMeta(row.doc_id, row.kind, n,
-          width = (64 + n % 512).toInt, height = (64 + n % 384).toInt,
-          n_frames = (n / 50L).toInt + 1, sample_rate = 0)
+        case _ =>
+          val (w, h, frames) = Mp4.meta(row.payload)
+            .getOrElse(((64 + n % 512).toInt, (64 + n % 384).toInt,
+              (n / 50L).toInt + 1))
+          MediaMeta(row.doc_id, row.kind, n,
+            width = w, height = h, n_frames = frames, sample_rate = 0)
       }
     }
   }
@@ -180,7 +286,11 @@ object Multimodal {
     * (kind cycles by doc_id). Image payloads are REAL minimal JPEGs (the
     * utf-8 text bytes wrapped in SOI/SOF0/EOI, dims embedded in the
     * header); audio payloads are REAL minimal RIFF/WAVE files (fmt chunk
-    * at 16 kHz, text bytes as the data chunk); video stays raw text bytes.
+    * at 16 kHz, text bytes as the data chunk); video payloads are REAL
+    * minimal MP4s (moov/mvhd/tkhd with dims + frame count embedded, text
+    * bytes as the mdat). The embedded metadata uses the same closed-form
+    * length formulas the pre-container stub derived, so oracles stay
+    * expressible in SQL over octet_length(text).
     */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -192,10 +302,12 @@ object Multimodal {
       encode(col("text"), "utf-8").as("payload")
     ).as[MediaRow]
       .map { r =>
+        val n = r.payload.length
         r.kind match {
           case "image" => r.copy(payload = Jpeg.wrap(r.payload))
           case "audio" => r.copy(payload = Wav.wrap(r.payload, 16000))
-          case _ => r
+          case _ => r.copy(payload = Mp4.wrap(r.payload,
+            64 + n % 512, 64 + n % 384, n / 50 + 1))
         }
       }
   }
@@ -244,14 +356,16 @@ object Multimodal {
     // rows carry the 23-byte JPEG container (SOI+SOF0+EOI) whose embedded
     // dims use the same closed-form length formulas the oracle computes;
     // audio rows carry the 44-byte RIFF/WAVE container whose fmt chunk
-    // embeds the 16 kHz rate the decoder parses back out
+    // embeds the 16 kHz rate the decoder parses back out; video rows
+    // carry the 240-byte MP4 container whose mvhd/tkhd boxes embed the
+    // frame count and dims
     "media_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          CAST(octet_length(encode(text))
               + CASE WHEN doc_id % 3 = 0 THEN 23
-                     WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END AS BIGINT) AS n_bytes,
+                     WHEN doc_id % 3 = 1 THEN 44 ELSE 240 END AS BIGINT) AS n_bytes,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0
               ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
          CAST(CASE WHEN doc_id % 3 = 1 THEN 0

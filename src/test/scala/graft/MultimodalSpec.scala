@@ -67,6 +67,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.rate("not riff at all........".getBytes) === None)
   }
 
+  test("mp4 wrap -> meta roundtrip across dimension/frame boundaries") {
+    import graft.ops.Multimodal.Mp4
+    for (n <- Seq(0, 1, 49, 50, 300, 511, 512, 1000)) {
+      val data = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      val mp4 = Mp4.wrap(data, 64 + n % 512, 64 + n % 384, n / 50 + 1)
+      assert(mp4.length === n + Mp4.Overhead)
+      assert(new String(mp4.slice(4, 8)) === "ftyp")
+      assert(Mp4.meta(mp4) === Some((64 + n % 512, 64 + n % 384, n / 50 + 1)))
+    }
+  }
+
+  test("mp4 meta walks past other boxes and honors the timescale") {
+    import graft.ops.Multimodal.Mp4
+    // a wrap with a free box spliced in before moov still parses, and a
+    // doubled timescale halves the derived frame count (duration is real)
+    val base = Mp4.wrap(Array.tabulate[Byte](100)(_.toByte), 320, 240, 50)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ Array[Byte](1, 2, 3, 4)
+    val spliced = base.take(16) ++ free ++ base.drop(16)
+    assert(Mp4.meta(spliced) === Some((320, 240, 50)))
+    // patch mvhd timescale (ftyp 16 + moov hdr 8 + mvhd hdr 8 + 12) to 2*Fps
+    val patched = base.clone()
+    val tsOff = 16 + 8 + 8 + 12
+    patched(tsOff) = 0; patched(tsOff + 1) = 0
+    patched(tsOff + 2) = 0; patched(tsOff + 3) = (2 * Mp4.Fps).toByte
+    assert(Mp4.meta(patched) === Some((320, 240, 25)))
+  }
+
+  test("malformed mp4 bytes yield None (fallback, never a throw)") {
+    import graft.ops.Multimodal.Mp4
+    assert(Mp4.meta(Array.emptyByteArray) === None)
+    assert(Mp4.meta("not an mp4 file at all.........".getBytes) === None)
+    // ftyp only, no moov
+    assert(Mp4.meta(Mp4.wrap(Array.emptyByteArray, 1, 1, 1).take(16)) === None)
+    // box size smaller than its header -> malformed walk
+    assert(Mp4.meta(Array[Byte](0, 0, 0, 2, 'm', 'o', 'o', 'v')) === None)
+  }
+
+  test("media_meta video rows carry header-parsed dims and frames end-to-end") {
+    import graft.ops.Multimodal.Mp4
+    val rows = Multimodal.queries("media_meta")(spark, sf("0.001"))
+      .filter(col("kind") === "video").limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val textLen = (r.getAs[Long]("n_bytes") - Mp4.Overhead).toInt
+      assert(r.getAs[Int]("width") === 64 + textLen % 512)
+      assert(r.getAs[Int]("height") === 64 + textLen % 384)
+      assert(r.getAs[Int]("n_frames") === textLen / 50 + 1)
+    }
+  }
+
   test("media_meta audio rows carry header-parsed sample rate end-to-end") {
     val rows = Multimodal.queries("media_meta")(spark, sf("0.001"))
       .filter(col("kind") === "audio").limit(5).collect()
