@@ -129,12 +129,29 @@ object TrainingOps {
     * corpus; uncache matches by logical plan and is a no-op when nothing
     * was cached.
     */
-  def releaseCaches(s: SparkSession, dir: String): Unit =
-    docShingles(s, dir).unpersist()
+  def releaseCaches(s: SparkSession, dir: String): Unit = {
+    val dsh = docShingles(s, dir)
+    // dedupNgram's stop-shingle table (persisted only when the cap binds;
+    // unpersist matches by logical plan and no-ops when it never was)
+    explodedIndex(dsh).groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleFreqCap).select("s").unpersist()
+    simhashSigs(s, dir).unpersist()
+    dsh.unpersist()
+  }
 
   /** Exploded inverted index (doc_id, shingle) off the cached array frame. */
   private def explodedIndex(dsh: DataFrame): DataFrame =
     dsh.select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Per-doc multi-simhash signature frame, persisted once per session
+    * (plan-deduped like the shingle cache): dedup_simhash references it on
+    * four join sides, and 9x64-bit signature computation over every
+    * shingle is the most expensive per-doc kernel in the suite.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).select(col("doc_id"),
+      simhash_multi(col("sh"), SimHashSigs).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-doc shingle counts — array size, no shuffle. */
   private def shingleCounts(dsh: DataFrame): DataFrame =
@@ -338,23 +355,36 @@ object TrainingOps {
   def dedupNgram(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val dsh = docShingles(s, dir)
     val sh0 = explodedIndex(dsh)
+    // The stop-shingle table is TINY by construction (<= occurrences/cap
+    // rows), but deriving it costs a full groupBy pass over the exploded
+    // index — persist it so the pass runs ONCE (the lazy plan re-ran it
+    // for the left_anti cap AND the correction join, the r3 regression),
+    // and probe emptiness so the whole correction subtree drops out of
+    // the plan when the cap never binds (the common case below ~10^8
+    // docs; DedupSpec pins the binding-cap branch with a tiny cap).
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("s")
-    val capped = sh0.join(hot, Seq("s"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capBinds = !hot.isEmpty
+    if (!capBinds) hot.unpersist() // plan below won't reference it
+    val capped = if (capBinds) sh0.join(hot, Seq("s"), "left_anti") else sh0
     // ONE pass: the capped self-join directly yields per-pair
     // intersection counts (no candidate materialization + re-join)
     val common0 = capped.select(col("doc_id").as("ia"), col("s"))
       .join(capped.select(col("doc_id").as("ib"), col("s")), Seq("s"))
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
-    val hotSh = sh0.join(hot, Seq("s"))
-    val hotCommon = common0.select("ia", "ib")
-      .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
-      .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+    val withCommon = if (capBinds) {
+      val hotSh = sh0.join(hot, Seq("s"))
+      val hotCommon = common0.select("ia", "ib")
+        .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
+        .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
+        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+    } else common0.withColumn("common", col("common0"))
     val counts = shingleCounts(dsh)
-    common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
-      .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+    withCommon
       .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
       .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
       .withColumn("n_union", col("ca") + col("cb") - col("common"))
@@ -515,8 +545,12 @@ object TrainingOps {
       // higher-order composition they replace was CodegenFallback, so the
       // projections emitting 36 exact + 612 probe rows per doc ran
       // interpreted and fell out of whole-stage codegen.
-      val sig = dsh.select(col("doc_id"),
-        simhash_multi(col("sh"), SimHashSigs).as("sigs"))
+      // the 576-bit multi-simhash is the most expensive per-doc kernel in
+      // the suite and the plan references it FOUR times (band keys, probe
+      // keys, both prefilter sides) — persist so it runs once per corpus
+      // (one cache entry via CacheManager plan-dedup; releaseCaches drops
+      // it with the shingle cache)
+      val sig = simhashSigs(s, dir)
       val banded = sig.select(col("doc_id"),
         explode(GraftFunctions.simhash_band_keys(col("sigs"), SimHashBandBits))
           .as("bk"))

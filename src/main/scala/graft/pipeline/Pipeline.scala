@@ -110,10 +110,38 @@ object Pipeline {
 
     val written = format.readSnapshot(spark, s"${cfg.outputRoot}/data")
 
-    // per-(sink,bucket) lineage from the durable data (tiny result)
-    val allPairs = written.groupBy("sink", "bucket").count()
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // ONE read-back pass over the durable table yields BOTH the
+    // per-(sink,bucket) lineage the manifest commits AND the per-(sink,
+    // format) delivery aggregates (the reference's counters), with the
+    // Observation metrics riding the same action. The finest grouping is
+    // (sink, bucket, format) — manifest-class metadata (sinks x buckets x
+    // formats rows) — and per-(sink,format) distinct-conversation counts
+    // are EXACT sums of per-bucket distincts because bucket is a pure
+    // function of conv_id (each conversation lives in exactly one
+    // bucket). The previous version ran two separate full scans (lineage
+    // groupBy + aggregate groupBy): a whole extra pass over the output at
+    // 100 TB, and a second fixed job cost in the post-write tail that
+    // throttled N->4N wall-clock scaling (the tail does not shrink with
+    // the write).
+    val obs = org.apache.spark.sql.Observation(s"agg-${cfg.runId}")
+    val cube = written
+      .observe(obs, count(lit(1)).as("rows_total"),
+        sum(when(col("format") === "malformed", 1L).otherwise(0L)).as("rows_malformed"))
+      .groupBy("sink", "bucket", "format")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("conv_id")).as("n_conv"),
+        min(col("turn_idx")).cast("long").as("min_turn"),
+        max(col("turn_idx")).cast("long").as("max_turn"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val observed = obs.get
+
+    val allPairs = cube.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._4).sum).toSeq
+      .map { case ((sink, bucket), n) => (sink, bucket, n) }
     val bucketRows = allPairs.filterNot(p => committed.contains((p._1, p._2)))
+      .sortBy(p => (p._1, p._2))
 
     // manifest commit strictly after the data write returned (durable)
     if (bucketRows.nonEmpty)
@@ -126,16 +154,16 @@ object Pipeline {
         skippedBySink.getOrElse(sink, 0))
     }
 
-    // per-sink delivery aggregates (the reference's counters) over the
-    // full durable table, with an Observation riding the same action
-    val obs = org.apache.spark.sql.Observation(s"agg-${cfg.runId}")
+    // per-(sink,format) delivery aggregates folded on the driver from the
+    // same read-back metadata (schema identical to Router.sinkAggregates)
+    val aggRows = cube.groupBy(t => (t._1, t._3)).map { case ((sink, fmt), rs) =>
+      (sink, fmt, rs.map(_._4).sum, rs.map(_._5).sum,
+        rs.map(_._6).min, rs.map(_._7).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
     format.overwritePartitions(
-      Router.sinkAggregates(written)
-        .observe(obs, sum(col("n")).as("rows_total"),
-          sum(when(col("format") === "malformed", col("n")).otherwise(0L)).as("rows_malformed"))
+      aggRows.toDF("sink", "format", "n", "n_conv", "min_turn", "max_turn")
         .coalesce(1),
       s"${cfg.outputRoot}/_aggregates", Nil)
-    val observed = obs.get
 
     val wallMs = (System.nanoTime() - t0) / 1000000
 

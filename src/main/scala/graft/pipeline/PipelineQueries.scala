@@ -261,6 +261,30 @@ object PipelineQueries {
       val routed = Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
       Router.sinkAggregates(routed).orderBy("sink", "format")
     },
+    // warn+drop+count policy under HOSTILE input (file.rs:142-147 lifted
+    // to quarantine-and-count): odd rows carry fuzz-shaped lines — empty
+    // string, a 20k single-token line (also a regex-linear-time probe), a
+    // '<'-prefixed line with no parseable pri, truncated JSON, control
+    // characters, a 5k '=' run that must NOT trip the fortinet gate —
+    // all of which must land in the quarantine sink as 'malformed', while
+    // the interleaved valid mini lines route normally. Total row count is
+    // conserved: nothing is silently dropped.
+    "pipe_quarantine_fuzz" -> { (s, dir) =>
+      reg(s)
+      val k = col("event_id")
+      val v = pmod(k, lit(12))
+      val fuzz = when(v === 1, lit(""))
+        .when(v === 3, concat(lit("x"), repeat(lit("x"), 19999)))
+        .when(v === 5, lit("<7garbage with no pri close"))
+        .when(v === 7, concat(lit("{\"k\": \""), col("event_type")))
+        .when(v === 9, lit("\u0007\u001b[2Jboom"))
+        .otherwise(repeat(lit("="), 5000))
+      val env = Transcripts.fromEvents(Transcripts.events(s, dir),
+        Some(when(k % 2 === 1, fuzz).otherwise(Transcripts.miniLine)))
+      Pipeline.transform(env, e2eConfig, Enrich.defaultLookup(s))
+        .groupBy("sink", "format").agg(count(lit(1)).as("n"))
+        .orderBy("sink", "format")
+    },
     // conversation-level fingerprint via the custom typed AGGREGATOR
     // (partial-mergeable SimHash votes — no group ever materializes its
     // token multiset). Rows-only driver check (custom hash kernel);
@@ -498,6 +522,15 @@ object PipelineQueries {
       """SELECT 'conv-' || user_id AS conv_id, count(*) AS turns,
          CAST(max(event_id) AS BIGINT) AS max_turn
          FROM events WHERE event_id % 10 = 0
-         GROUP BY 1 ORDER BY conv_id"""
+         GROUP BY 1 ORDER BY conv_id""",
+    // every hostile odd row must surface in quarantine as malformed (and
+    // be COUNTED); every even mini row routes to the default sink — total
+    // row conservation is the warn+drop+count pin
+    "pipe_quarantine_fuzz" ->
+      """SELECT sink, format, count(*) AS n FROM (
+           SELECT CASE WHEN event_id % 2 = 1 THEN 'quarantine' ELSE 'other' END AS sink,
+                  CASE WHEN event_id % 2 = 1 THEN 'malformed' ELSE 'mini' END AS format
+           FROM events)
+         GROUP BY sink, format ORDER BY sink, format"""
   )
 }

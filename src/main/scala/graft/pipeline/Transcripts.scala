@@ -136,17 +136,20 @@ object Transcripts {
 
   /** Same envelope over any events-shaped frame (event_id, ts, user_id,
     * event_type, value) — used by TranscriptGen for scaled synthetic data.
+    * `textOverride` (a Column over the events columns) replaces the
+    * standard format mix; the quarantine fuzz query uses it to plant
+    * hostile lines inside the otherwise-normal envelope.
     */
-  def fromEvents(ev: DataFrame): DataFrame = {
+  def fromEvents(ev: DataFrame, textOverride: Option[Column] = None): DataFrame = {
     val m = pmod(K, lit(8))
-    val text = when(m === 0, fortinetLine)
+    val text = textOverride.getOrElse(when(m === 0, fortinetLine)
       .when(m === 1, syslogLine)
       .when(m === 2, combinedLine)
       .when(m === 3, errorLine)
       .when(m === 4, kernLine)
       .when(m === 5, jsonLine)
       .when(m === 6, miniLine)
-      .otherwise(malformedLine)
+      .otherwise(malformedLine))
     ev.select(
       concat(lit("conv-"), U).as("conv_id"),
       K.cast("int").as("turn_idx"),
