@@ -15,6 +15,22 @@ import graft.pipeline.{Pipeline, TranscriptGen, Transcripts}
   *
   * Usage: runMain graft.ScaleBench [turns] [nSmall] [nBig]
   */
+/** Child-JVM entry for [[ScaleBench.corun]]: warmup pipeline run (pays
+  * JIT compilation and the fresh-heap page faults of a cold JVM — the
+  * parent's own trials are warm, so a cold child would understate the
+  * narrow side 3x, measured), then the reported run. parity=false — the
+  * parent holds the box's remaining cores busy around the whole co-run.
+  */
+object ScaleWorker {
+  def main(args: Array[String]): Unit = {
+    ScaleBench.runOnce(args(0).toInt, args(1), args(2) + "-warm",
+      args(3).toLong, parity = false)
+    val t = ScaleBench.runOnce(args(0).toInt, args(1), args(2),
+      args(3).toLong, parity = false)
+    println(s"[worker] tput=${t.tput}")
+  }
+}
+
 object ScaleBench {
 
   private def session(cpus: Int): SparkSession = {
@@ -30,6 +46,19 @@ object ScaleBench {
       // shuffle spill to tmpfs: the sandbox disk throttles and serializes
       // concurrent writers (see tmpfs note on the output root)
       .config("spark.local.dir", s"/dev/shm/spark-local-$cpus")
+      // the MAP stage's parallelism (scan -> parse -> shuffle write — the
+      // CPU-heavy half of the job) is the input SPLIT count, and the
+      // default 128 MB bin + 4 MB open-cost packed the ~65 MB compressed
+      // input into ~3 splits: the big level ran its whole parse phase 3
+      // tasks wide with 5 of 8 cores idle, which read as "poor scaling"
+      // but was split granularity (the round-3 CLAUDE.md finding, now
+      // applied to the scale harness too; at 100 TB splits are abundant).
+      // 2 MB bins -> ~33 splits = 4+ task waves at 8 cores (and the same
+      // 33 at 2 cores: Spark's maxSplitBytes = min(maxPartitionBytes,
+      // totalBytes/defaultParallelism) would otherwise pick DIFFERENT
+      // split counts per level); each split is still >= 30k rows
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -74,10 +103,20 @@ object ScaleBench {
     */
   private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // (stageId, numTasks) in completion order: a stage whose width is far
+    // below the core count is a split-granularity bug, not poor scaling
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stages.add((sc.stageInfo.stageId, sc.stageInfo.numTasks))
+    def stageWidths: String = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).map(_._2).mkString("/")
     }
   }
 
@@ -148,8 +187,55 @@ object ScaleBench {
     System.err.println(s"[scale] cpus=$cpus parity=$parity wall=${report.wallMs}ms " +
       s"write=${report.sinks.headOption.map(_.wallMs).getOrElse(0L)}ms " +
       s"tput=${report.turnsPerSec.round} cpuSec=${f"${t.cpuSec}%.1f"} " +
-      s"util=${f"${t.utilization(cpus)}%.2f"}")
+      s"util=${f"${t.utilization(cpus)}%.2f"} stageTasks=${tally.stageWidths}")
     t
+  }
+
+  /** Spawn `jobs` CHILD JVMs each running the identical pipeline at
+    * local[cpusEach] concurrently, and return the per-child throughputs.
+    * This is the hardware-normalized leg of the scaling evidence: one
+    * 8-core job vs four concurrent 2-core jobs puts the SAME aggregate
+    * cache/bandwidth/clock pressure on the box at both configurations
+    * (unlike 2c-vs-8c, where 2 lone threads enjoy the whole L3 and
+    * uncontended DRAM — an advantage no real N-executor cluster has over
+    * its 4N sibling, since both have the same per-core hardware). What
+    * remains is exactly the engine's own wide-vs-narrow overhead:
+    * perfect-engine aggregate of the 2-core quartet == the 8-core job.
+    * Children inherit this JVM's flags minus the heap (4x32g would
+    * overcommit the box) and run parity=false (the caller wraps the
+    * whole co-run in spinners for the remaining cores).
+    */
+  private[graft] def corun(jobs: Int, cpusEach: Int, input: String,
+      outRoot: String, turns: Long): Seq[Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xm") || a == "-XX:+AlwaysPreTouch")
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to jobs).map { i =>
+      // children size GC to their OWN core share: the inherited default
+      // (ParallelGCThreads = machine cores = 32) made four concurrent
+      // children field 128 competing GC threads, tripling their wall
+      val cmd = Seq(javaBin) ++ inherited ++ Seq("-Xms8g", "-Xmx8g",
+        s"-XX:ParallelGCThreads=${math.max(2, cpusEach * 2)}", "-cp", cp,
+        "graft.ScaleWorker", cpusEach.toString, input, s"$outRoot/corun-$i",
+        turns.toString)
+      new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    }
+    val tputs = procs.zipWithIndex.map { case (p, i) =>
+      val out = new String(p.getInputStream.readAllBytes())
+      p.waitFor()
+      out.linesIterator.filter(_.startsWith("[scale]"))
+        .foreach(l => System.err.println(s"[corun-child-$i] $l"))
+      out.linesIterator.collectFirst {
+        case l if l.startsWith("[worker] tput=") =>
+          l.stripPrefix("[worker] tput=").toDouble
+      }.getOrElse(0.0)
+    }
+    System.err.println(s"[scale] corun ${jobs}x${cpusEach}c tputs=" +
+      tputs.map(_.round).mkString(", "))
+    tputs
   }
 
   /** Ambient ceiling: how well THIS machine scales embarrassingly parallel
@@ -251,6 +337,16 @@ object ScaleBench {
     val utilSmall = bySmall.maxBy(_.tput).utilization(nSmall)
     val utilBig = byBig.maxBy(_.tput).utilization(nBig)
 
+    // hardware-normalized leg: one nBig-core job vs (nBig/nSmall)
+    // concurrent nSmall-core child JVMs — see corun()
+    val corunAggs = (1 to 2).map { i =>
+      awaitQuiet(90000, 2.5)
+      withSpinners(math.max(0, 32 - nBig)) {
+        corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns).sum
+      }
+    }
+    val effCorun = tputBig / corunAggs.max
+
     // saturation probe: the same job at all 32 local threads, to document
     // where the single-VM memory system caps out
     val tput32 = if (nBig < 32) (1 to 3).map(i =>
@@ -305,6 +401,18 @@ object ScaleBench {
          |exactly into cpuEff x (utilization_4N / utilization_N). A
          |wall-clock miss with cpuEff >= 0.8 and depressed utilization is
          |a noise diagnosis, not an engine regression.
+         |
+         |**Hardware-normalized co-run efficiency = tput_4N / (aggregate
+         |of ${nBig / nSmall} CONCURRENT ${nSmall}-core jobs) =
+         |${f"$effCorun%.3f"}** (aggregates:
+         |${corunAggs.map(_.round).mkString(", ")} turns/s). Both sides
+         |put identical aggregate pressure on the box's shared
+         |L3/DRAM/clocks — the plain N-vs-4N pair cannot ($nSmall lone
+         |threads enjoy the whole cache hierarchy, headroom no real
+         |N-executor cluster has over its 4N sibling, since both clusters
+         |have the same per-core hardware). The residual ratio is the
+         |engine's own wide-vs-narrow overhead: shuffle width,
+         |coordination, commit serialization.
          |
          |Raw (no parity, idle-core turbo inflating the N level):
          |${bySmallRaw.map(_.tput).max.round} ->
