@@ -362,7 +362,8 @@ object ScaleBench {
          |per-(sink,bucket) ordered parquet writes + manifest + aggregates +
          |metrics) on the identical $turns-turn input, at two local
          |parallelism levels, same JVM heap (pre-touched — see below), AQE
-         |on, shuffle partitions scaled with cores, tmpfs IO (the sandbox's
+         |on, IDENTICAL shuffle width at both levels (see below), tmpfs IO
+         |(the sandbox's
          |lone virtio disk throttles after a burst — it would measure the
          |disk's token bucket, not the engine; a real cluster's sink/shuffle
          |bandwidth scales with executors). Best-of runs per level, trials
@@ -459,8 +460,14 @@ object ScaleBench {
          |The pipeline sizes its one shuffle from the DATA unless pinned:
          |partitions = max(defaultParallelism, inputBytes / 128 MB)
          |(Pipeline.derivedShufflePartitions; AQE coalesces overshoot on
-         |small inputs). This benchmark pins partitions = 2 x cores so the
-         |two levels compare like-for-like on identical input. At 100 TB
+         |small inputs). This benchmark pins the SAME width ($width) at
+         |both levels — the N -> 4N question is "same job, more workers",
+         |and a per-level width would bake 4x the per-task fixed cost into
+         |the small level — sized for >= 6 task waves at the big level so
+         |stragglers pack (2 waves measured utilization 0.65). Input
+         |splits are likewise equalized (2 MB bins; Spark's maxSplitBytes
+         |formula would otherwise pick per-level split counts and ran the
+         |whole parse phase ~3 tasks wide at every level). At 100 TB
          |the formula yields ~800k reducer tasks of ~128 MB each, where a
          |fixed count of 32 would mean 3 TB per task (guaranteed spill).
          |The same green e2e oracle rows hold under the derived width
