@@ -263,9 +263,10 @@ object PipelineQueries {
     },
     // warn+drop+count policy under HOSTILE input (file.rs:142-147 lifted
     // to quarantine-and-count): odd rows carry fuzz-shaped lines — empty
-    // string, a 20k single-token line (also a regex-linear-time probe), a
+    // string, a 5k single-token line (also a regex-linear-time probe: a
+    // backtracking blowup on it would run minutes, not seconds), a
     // '<'-prefixed line with no parseable pri, truncated JSON, control
-    // characters, a 5k '=' run that must NOT trip the fortinet gate —
+    // characters, a 2k '=' run that must NOT trip the fortinet gate —
     // all of which must land in the quarantine sink as 'malformed', while
     // the interleaved valid mini lines route normally. Total row count is
     // conserved: nothing is silently dropped.
@@ -274,11 +275,11 @@ object PipelineQueries {
       val k = col("event_id")
       val v = pmod(k, lit(12))
       val fuzz = when(v === 1, lit(""))
-        .when(v === 3, concat(lit("x"), repeat(lit("x"), 19999)))
+        .when(v === 3, repeat(lit("x"), 5000))
         .when(v === 5, lit("<7garbage with no pri close"))
         .when(v === 7, concat(lit("{\"k\": \""), col("event_type")))
         .when(v === 9, lit("\u0007\u001b[2Jboom"))
-        .otherwise(repeat(lit("="), 5000))
+        .otherwise(repeat(lit("="), 2000))
       val env = Transcripts.fromEvents(Transcripts.events(s, dir),
         Some(when(k % 2 === 1, fuzz).otherwise(Transcripts.miniLine)))
       Pipeline.transform(env, e2eConfig, Enrich.defaultLookup(s))
