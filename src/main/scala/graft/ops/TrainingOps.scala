@@ -393,6 +393,62 @@ object TrainingOps {
       .orderBy("ia", "ib")
   }
 
+  /** Connected components over an (ia, ib) pair frame by min-label
+    * propagation to FIXPOINT: every vertex ends labeled with the smallest
+    * doc_id reachable from it, a partition-independent canonical cluster
+    * id. Each iteration is one equi-join + min-aggregate (both
+    * partitioned on the vertex key — no driver-side row data, labels
+    * persisted per round and released after); iterations needed =
+    * O(component diameter). Near-dup components are overwhelmingly
+    * near-cliques (every member pairs with most others), so 2-3 rounds
+    * converge even at 10^9 docs; a worst-case long-chain graph would call
+    * for the large-star/small-star contraction (Kiveris et al., COSS
+    * 2014), which this loop's join shape extends to directly. The
+    * `maxIters` guard turns a pathological non-convergence into a loud
+    * failure instead of an infinite loop.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= maxIters, s"connectedComponents: no fixpoint after $maxIters rounds")
+      val viaEdge = edges
+        .join(labels.select(col("v").as("src"), col("l")), "src")
+        .select(col("dst").as("v"), col("l"))
+      val next = viaEdge.unionAll(labels)
+        .groupBy("v").agg(min("l").as("l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("v"), col("l").as("prev")), "v")
+        .filter(col("l") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters + canonical keep decision from the verified
+    * n-gram Jaccard pairs: pair lists alone don't tell a curation
+    * pipeline what to DELETE — transitive near-dup groups must collapse
+    * to one kept document. keep = (doc == smallest doc_id in its
+    * component); only docs that appear in some dup pair are emitted.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib")))
+      .select(col("v").as("doc_id"), col("l").as("cluster"),
+        (col("v") === col("l")).as("keep"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "text_tokens" -> { (s, dir) =>
@@ -510,6 +566,7 @@ object TrainingOps {
         .orderBy("keep_id")
     },
     "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir, ShingleFreqCap) },
+    "dedup_clusters" -> { (s, dir) => dedupClusters(s, dir) },
     "dedup_minhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
@@ -754,6 +811,19 @@ object TrainingOps {
           FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
           WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "dedup_ngram" -> jaccardPairsSql,
+    // connected components over the same exact pair set: min reachable
+    // doc_id per vertex via a recursive CTE (UNION dedups, so the
+    // recursion reaches the transitive closure and terminates)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+          e AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+          reach(v, l) AS (
+            SELECT DISTINCT ia, ia FROM e
+            UNION
+            SELECT e.ia, r.l FROM e JOIN reach r ON r.v = e.ib
+          )
+          SELECT v AS doc_id, min(l) AS cluster, v = min(l) AS keep
+          FROM reach GROUP BY v ORDER BY doc_id""",
     // MinHash/SimHash candidates + exact-Jaccard verification converge to
     // the exact pair set at J>=0.9 (banding miss probability < 1e-7 at
     // this signature size); the oracle is therefore the exact pair SQL.

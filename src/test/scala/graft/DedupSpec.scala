@@ -22,6 +22,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs(5) === uncapped)
   }
 
+  test("connected components: chains, stars, cycles, singleton pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 20<-(21,22,23), cycle 30-31-32-30, lone pair
+    // 40-41: the driver data's components are near-cliques, so the
+    // multi-hop transitive cases are pinned here instead
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L), (31L, 32L), (30L, 32L),
+      (40L, 41L)).toDF("ia", "ib")
+    val got = graft.ops.TrainingOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L,
+      40L -> 40L, 41L -> 40L)
+    assert(got === want)
+  }
+
+  test("dedup_clusters covers exactly the paired docs, one keeper per cluster") {
+    val pairRows = pairs(1000000)
+    val docs = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+    val rows = graft.ops.TrainingOps.queries("dedup_clusters")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSet === docs)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._3) === 1, s"cluster $cluster keepers")
+      assert(members.map(_._1).min === cluster, s"cluster $cluster canonical id")
+    }
+  }
+
   test("all three dedup mechanisms agree on the exact pair set") {
     def ids(name: String) = graft.ops.TrainingOps.queries(name)(spark, sf("0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
