@@ -136,6 +136,8 @@ object TrainingOps {
     explodedIndex(dsh).groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleFreqCap).select("s").unpersist()
     simhashSigs(s, dir).unpersist()
+    dedupNgram(s, dir, ShingleFreqCap).unpersist()
+    capBindsMemo.clear()
     dsh.unpersist()
   }
 
@@ -362,11 +364,22 @@ object TrainingOps {
     // and probe emptiness so the whole correction subtree drops out of
     // the plan when the cap never binds (the common case below ~10^8
     // docs; DedupSpec pins the binding-cap branch with a tiny cap).
-    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+    def stopShingles() = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capBinds = !hot.isEmpty
-    if (!capBinds) hot.unpersist() // plan below won't reference it
+    // the emptiness probe is one aggregation job; memoize it per
+    // (dir, cap) so repeated builder calls in one session (dedup_ngram +
+    // dedup_clusters per suite pass) pay it once — testdata dirs are
+    // immutable within a run, which is what makes the memo sound
+    val capBinds = capBindsMemo.getOrElseUpdate((dir, cap), {
+      val hot = stopShingles()
+      val binds = !hot.isEmpty
+      if (!binds) hot.unpersist()
+      binds
+    })
+    // when the cap binds, the persisted frame is recovered by CacheManager
+    // plan-dedup (identical logical plan -> same cache entry)
+    lazy val hot = stopShingles()
     val capped = if (capBinds) sh0.join(hot, Seq("s"), "left_anti") else sh0
     // ONE pass: the capped self-join directly yields per-pair
     // intersection counts (no candidate materialization + re-join)
@@ -391,7 +404,14 @@ object TrainingOps {
       .filter(col("common") * 10 >= col("n_union") * 9)
       .select(col("ia"), col("ib"), col("common"), col("n_union"))
       .orderBy("ia", "ib")
+      // the verified pair set is tiny (dup pairs only) and consumed by
+      // BOTH dedup_ngram and dedup_clusters in a suite pass — one cache
+      // entry via plan-dedup; released with the shingle cache
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  private val capBindsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
 
   /** Connected components over an (ia, ib) pair frame by min-label
     * propagation to FIXPOINT: every vertex ends labeled with the smallest
@@ -412,8 +432,14 @@ object TrainingOps {
     val fwd = pairs.select(col("ia").as("src"), col("ib").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("l"))
+    // round 1 fused into the vertex-set construction: label = min(self,
+    // min direct neighbor) in ONE aggregation, no join — components that
+    // are single pairs or min-centered stars (the overwhelming near-dup
+    // shape) are already converged here, so the loop below only runs its
+    // one confirming round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iters = 0
