@@ -593,6 +593,31 @@ object TrainingOps {
     },
     "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir, ShingleFreqCap) },
     "dedup_clusters" -> { (s, dir) => dedupClusters(s, dir) },
+    // the full curation funnel AS ONE DECLARATIVE PLAN — what the
+    // training-data ops exist for: quality-filter (drop junk), hold out
+    // the eval subset, drop non-canonical near-dups (anti-join against
+    // dedup_clusters' losers), drop benchmark-contaminated docs
+    // (anti-join against the decontamination hits). Both anti-join right
+    // sides are tiny (dup losers, contaminated docs) -> broadcast; the
+    // funnel is one linear pass over documents at any scale.
+    "text_curate" -> { (s, dir) =>
+      val nTok = size(tokens(col("text"))).cast("long")
+      val hits = stopHits(col("text")).cast("long")
+      val bucket = when(nTok.between(20, 200) && hits >= 1, "good")
+        .when(nTok >= 5, "fair").otherwise("junk")
+      val base = docs(s, dir)
+        .select(col("doc_id"), bucket.as("quality"), nTok.as("n_tokens"))
+        .filter(col("quality") =!= "junk")
+        .filter(col("doc_id") % 97 =!= 0)
+      val dupLosers = dedupClusters(s, dir)
+        .filter(!col("keep")).select("doc_id")
+      val contaminated = queries("text_decontaminate")(s, dir)
+        .filter(col("contaminated")).select("doc_id")
+      base
+        .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
     "dedup_minhash" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       val dsh = docShingles(s, dir)
@@ -850,6 +875,41 @@ object TrainingOps {
           )
           SELECT v AS doc_id, min(l) AS cluster, v = min(l) AS keep
           FROM reach GROUP BY v ORDER BY doc_id""",
+    // the curation funnel composed from the already-verified fragments:
+    // quality CASE (text_quality), cluster losers (dedup_clusters'
+    // recursive CTE), contamination hits (text_decontaminate)
+    "text_curate" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+          e AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+          reach(v, l) AS (
+            SELECT DISTINCT ia, ia FROM e
+            UNION
+            SELECT e.ia, r.l FROM e JOIN reach r ON r.v = e.ib
+          ),
+          losers AS (SELECT v AS doc_id FROM reach GROUP BY v
+                     HAVING v <> min(l)),
+          tok2 AS (SELECT doc_id, $tokSql AS t FROM documents),
+          sh2 AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                  FROM tok2),
+          contam AS (SELECT a.doc_id FROM sh2 a
+                     JOIN (SELECT DISTINCT s FROM sh2 WHERE doc_id % 97 = 0) b
+                       ON a.s = b.s
+                     WHERE a.doc_id % 97 <> 0
+                     GROUP BY a.doc_id HAVING count(*) >= 3),
+          q AS (SELECT doc_id,
+                  CASE WHEN len($tokSql) BETWEEN 20 AND 200 AND $stopSql >= 1
+                       THEN 'good'
+                       WHEN len($tokSql) >= 5 THEN 'fair'
+                       ELSE 'junk' END AS quality,
+                  CAST(len($tokSql) AS BIGINT) AS n_tokens
+                FROM documents)
+          SELECT doc_id, quality, n_tokens FROM q
+          WHERE quality <> 'junk' AND doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+            AND doc_id NOT IN (SELECT doc_id FROM contam)
+          ORDER BY doc_id""",
     // MinHash/SimHash candidates + exact-Jaccard verification converge to
     // the exact pair set at J>=0.9 (banding miss probability < 1e-7 at
     // this signature size); the oracle is therefore the exact pair SQL.
