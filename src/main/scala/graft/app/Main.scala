@@ -62,6 +62,19 @@ object Main {
       println(s"routes (${cfg.sinks.size} rules + default '${cfg.defaultSink}' " +
         s"+ quarantine '${cfg.quarantineSink}'):")
       cfg.sinks.foreach { case SinkRule(name, pred) => println(f"  $name%-12s <- $pred") }
+      // resolved format table: built-in dictionary entries + config-declared
+      // FormatSpecs, in match priority order (the reference's --check prints
+      // the resolved plugin registry the same way, main.rs:82-91)
+      println(s"formats (${graft.parse.PatternDictionary.Formats.size} built-in " +
+        s"+ ${cfg.formats.size} from config, in match order):")
+      graft.parse.PatternDictionary.Formats.foreach(f => println(f"  $f%-12s (built-in)"))
+      cfg.formats.foreach { f =>
+        val gate = (f.gatePrefix.map(p => s"startsWith('$p')") ++
+          f.gateContains.map(c => s"contains('$c')")).mkString(" && ")
+        println(f"  ${f.name}%-12s gate=${if (gate.isEmpty) "(none)" else gate} " +
+          s"regex=${f.regex} fields=${f.fields.map(x => s"${x.name}:g${x.group}:${x.cast}").mkString(",")}" +
+          f.ts.map(t => s" ts=g${t.group}:'${t.pattern}':${t.unit}").getOrElse(""))
+      }
       println(s"input:  ${cfg.inputPath}")
       println(s"output: ${cfg.outputRoot}")
       println(s"runTs=${cfg.runTsMillis} saltBuckets=${cfg.saltBuckets} " +

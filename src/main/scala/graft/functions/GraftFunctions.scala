@@ -68,6 +68,9 @@ object GraftFunctions {
       }
       NearestCell(exprs(0), cents)
     }),
+    // numeric-key list arrives as one csv literal
+    "event_json" -> ((exprs: Seq[Expression]) => EventJson(exprs(0),
+      exprs(1).eval().toString.split(',').toSeq.filter(_.nonEmpty))),
     "rp_project" -> ((exprs: Seq[Expression]) => RpProject(exprs(0),
       exprs(1).eval().asInstanceOf[Int], exprs(2).eval() match {
         case i: Int => i.toLong
@@ -190,6 +193,14 @@ object GraftFunctions {
     * would exclude the whole operator).
     */
   def json_flat_map(c: Column): Column = call_function("json_flat_map", c)
+
+  /** Reference-parity NDJSON event line (serde_json over a BTreeMap event:
+    * compact, sorted keys; `numericKeys` emitted as bare i64 when canonical
+    * — fortinet.rs:105 / syslog.rs:55-64). See [[EventJson]].
+    */
+  def event_json(m: Column, numericKeys: Seq[String] = Seq("t")): Column =
+    call_function("event_json", m,
+      org.apache.spark.sql.functions.lit(numericKeys.mkString(",")))
 
   /** Nearest-centroid index (max cosine, ties low) against a driver-side
     * centroid table (empty/null slots = dead cells, skipped).

@@ -120,7 +120,11 @@ object LumberjackCodec {
       i += 1
     }
     val raw = inner.toByteArray
-    val deflater = new java.util.zip.Deflater()
+    // BEST_SPEED: encode exists to synthesize frames for the decode path
+    // (the reference only DECODES lumberjack); zlib decoding is
+    // level-agnostic, so this only changes encode CPU, not any golden
+    val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     val zipped = new java.io.ByteArrayOutputStream()
     try {
       deflater.setInput(raw); deflater.finish()

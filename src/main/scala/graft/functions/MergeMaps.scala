@@ -122,9 +122,11 @@ object MergeMaps {
 /** The full logfmt-TRANSFORM merge (log-ship/src/plugins/logfmt.rs:75-95) as
   * ONE codegen'd expression: pop key `field` from the event map, then merge
   * the separately-parsed `parsed` map in; with overwrite=false an incoming
-  * key that collides with a surviving event key is renamed
-  * `"<field>.<key>"`, and a (possibly renamed) key that still collides
-  * overwrites (serde_json insert — last write wins).
+  * key that collides with the EVOLVING map (surviving event keys plus
+  * already-inserted parsed keys, matching the reference's sequential
+  * `contains_key` check) is renamed `"<field>.<key>"`, and a (possibly
+  * renamed) key that still collides overwrites (serde_json insert — last
+  * write wins).
   *
   * Replaces the `map_filter` (pop) + `transform_keys` (rename) + `when`
   * composition: both HOFs are CodegenFallback, and a single fallback
@@ -242,12 +244,28 @@ object MergeFieldMaps {
       false
     }
 
-    // final (possibly renamed) key of every parsed entry
+    // final (possibly renamed) key of every parsed entry. The reference's
+    // collision check runs against the EVOLVING map (logfmt.rs:
+    // json.contains_key inside the sequential insert loop), so a parsed
+    // key can also collide with an EARLIER parsed key's renamed form (a
+    // literal "field.k" arriving after "k" was renamed) — check the keys
+    // finalized so far too. Rename is single-level (the reference inserts
+    // under "<field>.<key>" unconditionally, overwriting on a re-collision),
+    // which the last-wins pass below reproduces.
     val rk = new Array[UTF8String](pn)
     var j = 0
     while (j < pn) {
       val k = pk.getUTF8String(j)
-      rk(j) = if (!overwrite && survivorHas(k)) UTF8String.concat(prefix, k) else k
+      def earlierRenamed: Boolean = {
+        var x = 0
+        while (x < j) {
+          if (rk(x).equals(k)) return true
+          x += 1
+        }
+        false
+      }
+      rk(j) = if (!overwrite && (survivorHas(k) || earlierRenamed))
+        UTF8String.concat(prefix, k) else k
       j += 1
     }
 

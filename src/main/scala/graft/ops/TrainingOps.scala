@@ -131,13 +131,19 @@ object TrainingOps {
     */
   def releaseCaches(s: SparkSession, dir: String): Unit = {
     val dsh = docShingles(s, dir)
-    // dedupNgram's stop-shingle table (persisted only when the cap binds;
-    // unpersist matches by logical plan and no-ops when it never was)
-    explodedIndex(dsh).groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleFreqCap).select("s").unpersist()
-    simhashSigs(s, dir).unpersist()
-    dedupNgram(s, dir, ShingleFreqCap).unpersist()
+    // Release dedupNgram's caches only if it actually RAN this session
+    // (memo entry present). Rebuilding the plan with a cold memo would run
+    // the emptiness-probe Spark job inside the release path and, when the
+    // cap binds, re-persist the stop-shingle frame just to drop the pair
+    // cache. Pair cache goes first, then the stop-shingle table it reads
+    // (unpersist matches by logical plan, no-op if never cached).
+    if (capBindsMemo.contains((dir, ShingleFreqCap))) {
+      dedupNgram(s, dir, ShingleFreqCap).unpersist()
+      explodedIndex(dsh).groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > ShingleFreqCap).select("s").unpersist()
+    }
     capBindsMemo.clear()
+    simhashSigs(s, dir).unpersist()
     dsh.unpersist()
   }
 
@@ -296,8 +302,14 @@ object TrainingOps {
       .sorted.mkString("|")
     val fp = java.lang.Long.toHexString(graft.functions.Fingerprint64.hash64(
       org.apache.spark.unsafe.types.UTF8String.fromString(manifest)))
-    "/dev/shm/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fp
+    ivfIndexDirPrefix(dir) + fp
   }
+
+  /** All index dirs for one data dir share this prefix; only the corpus
+    * fingerprint suffix varies. Lets the build GC stale siblings.
+    */
+  private def ivfIndexDirPrefix(dir: String): String =
+    "/dev/shm/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_"
 
   /** Build and PERSIST the index artifact — the deployment shape of a
     * 100 TB similarity service, where index construction (k-means over the
@@ -322,7 +334,25 @@ object TrainingOps {
     val fsPath = new org.apache.hadoop.fs.Path(idx)
     val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(fsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    // local-FS rename signals failure by RETURNING false, not throwing —
+    // an unchecked miss here would leave serve reading a half-deleted dir
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath),
+      s"atomic index swap failed: rename $tmp -> $idx")
+    // GC stale fingerprint-keyed siblings for the same data dir: every
+    // corpus regeneration changes the fingerprint and would otherwise
+    // strand the previous index (and any crashed .build- staging dir of a
+    // dead fingerprint) on tmpfs — a RAM leak. Dirs carrying the LIVE
+    // fingerprint are kept: a concurrent build of the same corpus may own
+    // a .build- sibling under this prefix.
+    val prefix = ivfIndexDirPrefix(dir)
+    val livePrefix = fsPath.getName
+    val parent = fsPath.getParent
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(new org.apache.hadoop.fs.Path(prefix).getName) &&
+          !n.startsWith(livePrefix))
+        fs.delete(st.getPath, true)
+    }
     fmt.readSnapshot(s, s"$idx/centroids")
   }
 
@@ -597,9 +627,12 @@ object TrainingOps {
     // training-data ops exist for: quality-filter (drop junk), hold out
     // the eval subset, drop non-canonical near-dups (anti-join against
     // dedup_clusters' losers), drop benchmark-contaminated docs
-    // (anti-join against the decontamination hits). Both anti-join right
-    // sides are tiny (dup losers, contaminated docs) -> broadcast; the
-    // funnel is one linear pass over documents at any scale.
+    // (anti-join against the decontamination hits). The anti-join right
+    // sides are NOT hard-broadcast: at 10^11 docs with a 30% dup rate the
+    // loser set is O(corpus) (tens of GB of doc_ids — a forced hint is a
+    // driver OOM). AQE's runtime size check picks broadcast when they are
+    // genuinely small and a shuffled anti-join otherwise, so the funnel
+    // stays one linear pass at any scale.
     "text_curate" -> { (s, dir) =>
       val nTok = size(tokens(col("text"))).cast("long")
       val hits = stopHits(col("text")).cast("long")
@@ -614,8 +647,8 @@ object TrainingOps {
       val contaminated = queries("text_decontaminate")(s, dir)
         .filter(col("contaminated")).select("doc_id")
       base
-        .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },
     "dedup_minhash" -> { (s, dir) =>

@@ -380,6 +380,39 @@ object PatternDictionary {
 
   private def try_cast_long(c: Column): Column = c.try_cast("long")
 
+  // ---- config-declared formats (FormatSpec -> the same Column trees) ----
+
+  /** Cheap pre-regex gate of a config format (startsWith/contains AND-ed);
+    * no gate declared = always probe (like the built-in mini entry).
+    */
+  def specGate(spec: graft.model.FormatSpec, text: Column): Column =
+    (spec.gatePrefix.map(p => text.startsWith(p)) ++
+      spec.gateContains.map(c => text.contains(c)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Field + ts recipes of a config format off its hoisted group array —
+    * identical discipline to the built-in *G extractors (the regex ran once
+    * in the hoist stage; this only reads array slots).
+    */
+  def specColsG(spec: graft.model.FormatSpec, gs: Column,
+      runTsMillis: Long): Seq[(String, Column)] = {
+    val ts = spec.ts.map { t =>
+      val raw = emptyToNull(ga(gs, t.group))
+      val parsed =
+        if (t.pattern.isEmpty) try_cast_long(raw)
+        else if (t.unit == "seconds")
+          unix_timestamp(try_to_timestamp(raw, lit(t.pattern)))
+        else unix_millis(try_to_timestamp(raw, lit(t.pattern)))
+      val fallback =
+        if (t.unit == "seconds") lit(runTsMillis / 1000L) else lit(runTsMillis)
+      "t" -> (if (t.fallbackRunClock) coalesce(parsed, fallback) else parsed)
+    }
+    ts.toSeq ++ spec.fields.map { f =>
+      val raw = ga(gs, f.group)
+      f.name -> (if (f.cast == "long") try_cast_long(raw) else raw)
+    }
+  }
+
   // ---- unified parse: format tag + open-schema fields map ----
 
   /** Map form of an extractor: stringify values, drop null-valued entries
@@ -406,7 +439,8 @@ object PatternDictionary {
     * multiply referenced. The cheap prefix/contains gates still let a row
     * skip every regex that cannot match it.
     */
-  def parse(df: DataFrame, runTsMillis: Long): DataFrame = {
+  def parse(df: DataFrame, runTsMillis: Long,
+      extras: Seq[graft.model.FormatSpec] = Nil): DataFrame = {
     val text = col("text")
     val year = date_format(timestamp_millis(lit(runTsMillis)), "yyyy")
 
@@ -437,15 +471,28 @@ object PatternDictionary {
       .withColumn("_gmini", when(!isf && g5424.isNull && g3164.isNull &&
         gcomb.isNull && gerr.isNull && gkern.isNull && gjson.isNull,
         regexp_groups(text, MiniRe)))
+      // CONFIG-DECLARED entries (FormatSpec): hoisted in a further chained
+      // stage (they may read _gmini), gated on their own cheap gate AND on
+      // no built-in having claimed the row — still one fused
+      // WholeStageCodegen with one regex execution per (row, format)
+      .withColumns(scala.collection.immutable.ListMap(
+        extras.zipWithIndex.map { case (sp, i) =>
+          s"_gx$i" -> when(!isf && g5424.isNull && g3164.isNull &&
+            gcomb.isNull && gerr.isNull && gkern.isNull && gjson.isNull &&
+            gmini.isNull && specGate(sp, text),
+            regexp_groups(text, sp.regex))
+        }: _*))
 
-    val format = when(isf, "fortinet")
+    val formatBuiltin = when(isf, "fortinet")
       .when(g5424.isNotNull || g3164.isNotNull, "syslog")
       .when(gcomb.isNotNull, "combined")
       .when(gerr.isNotNull, "error")
       .when(gkern.isNotNull, "kern")
       .when(gjson.isNotNull, "json")
       .when(gmini.isNotNull, "mini")
-      .otherwise("malformed")
+    val format = extras.zipWithIndex.foldLeft(formatBuiltin) {
+      case (acc, (sp, i)) => acc.when(col(s"_gx$i").isNotNull, sp.name)
+    }.otherwise("malformed")
 
     // merge_maps, not map_concat: stitched t overwrites a literal t= key
     // instead of throwing (DUPLICATED_MAP_KEY) — see fortinetTransform
@@ -454,7 +501,7 @@ object PatternDictionary {
       map(lit("t"),
         fortinetTG(col("_gfd"), col("_gft"), runTsMillis).cast("string")))
 
-    val fields = when(isf, fortinetMap)
+    val fieldsBuiltin = when(isf, fortinetMap)
       .when(g5424.isNotNull || g3164.isNotNull,
         syslogMapG(g5424, g3164, text, year, runTsMillis))
       .when(gcomb.isNotNull, toMap(combinedColsG(gcomb)))
@@ -462,10 +509,14 @@ object PatternDictionary {
       .when(gkern.isNotNull, toMap(kernColsG(gkern, year)))
       .when(gjson.isNotNull, gjson)
       .when(gmini.isNotNull, toMap(miniColsG(gmini)))
-      .otherwise(map().cast("map<string,string>"))
+    val fields = extras.zipWithIndex.foldLeft(fieldsBuiltin) {
+      case (acc, (sp, i)) => acc.when(col(s"_gx$i").isNotNull,
+        toMap(specColsG(sp, col(s"_gx$i"), runTsMillis)))
+    }.otherwise(map().cast("map<string,string>"))
 
     staged.withColumn("format", format).withColumn("fields", fields)
-      .drop("_isf", "_g5424", "_g3164", "_gcomb", "_gerr", "_gkern",
-        "_gjson", "_gmini", "_gfd", "_gft")
+      .drop(Seq("_isf", "_g5424", "_g3164", "_gcomb", "_gerr", "_gkern",
+        "_gjson", "_gmini", "_gfd", "_gft") ++
+        extras.indices.map(i => s"_gx$i"): _*)
   }
 }

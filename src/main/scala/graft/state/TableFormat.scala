@@ -35,6 +35,45 @@ trait TableFormat {
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit
 }
 
+/** NDJSON (json-lines) binding of the same seam — the interop format every
+  * reference sink emits (file.rs:859-871, stdio.rs:120-124,
+  * tcp_socket.rs:62-70: one JSON object per line). `Pipeline.run(spark,
+  * cfg, NdjsonFormat)` therefore fans out NDJSON sinks with identical
+  * manifest/resume semantics; per-EVENT byte parity with the reference's
+  * file sink is the [[graft.functions.EventJson]] expression (this binding
+  * writes the full typed envelope per line, a superset). Columnar pushdown
+  * is lost (text format) — parquet/Iceberg stays the default for anything
+  * scanned again at scale; NDJSON is for interop boundaries.
+  */
+object NdjsonFormat extends TableFormat {
+
+  override def readSnapshot(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    if (exists(spark, path)) spark.read.schema(schemaDdl).json(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  override def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  override def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).json(path)
+
+  override def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val w = df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+}
+
 /** Parquet binding: directory-per-table, dynamic partition overwrite. */
 object ParquetFormat extends TableFormat {
 

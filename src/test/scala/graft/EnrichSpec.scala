@@ -55,6 +55,21 @@ class EnrichSpec extends SparkSpec {
     assert(mapOf(out, "m") === Map("a" -> "keep", "message.a" -> "1"))
   }
 
+  test("logfmt merge: collision check runs against the EVOLVING map") {
+    GraftFunctions.ensureRegistered(spark)
+    // reference semantics (logfmt.rs json.contains_key inside the insert
+    // loop): "a" collides with the event key -> renamed "message.a";
+    // the LITERAL parsed key "message.a" then collides with that
+    // just-inserted renamed key -> renamed again to "message.message.a"
+    // (single-level rename per insert), NOT last-wins on "message.a"
+    val df = spark.range(1).select(
+      map(lit("message"), lit("a=1 message.a=2"), lit("a"), lit("keep")).as("f"))
+    val out = df.select(
+      Enrich.logfmtMergeField(col("f"), "message", overwrite = false).as("m"))
+    assert(mapOf(out, "m") ===
+      Map("a" -> "keep", "message.a" -> "1", "message.message.a" -> "2"))
+  }
+
   test("logfmt merge: null event map stays null") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.range(1).select(
