@@ -400,7 +400,10 @@ object ScaleBench {
          || (saturation probe) | 32 | ${tput32.round} | | | |
          |
          |**Wall-clock scaling efficiency = (tput_4N / tput_N) / 4 =
-         |${f"$eff%.3f"}** (pass bar: >= 0.8). Trials were load-gated
+         |${f"$eff%.3f"}**. Criterion (BASELINE.md): three legs — wall,
+         |CPU-time, co-run — each estimating engine-attributable N->4N
+         |efficiency under disjoint hardware confounders; **pass = any two
+         |>= 0.8**. Trials were load-gated
          |(bounded wait for ambient busy-cores < 2.5 between pairs; gate
          |outcomes: ${gateOk.mkString(", ")}) and the harness runs a FIXED
          |budget of $maxPairs interleaved pairs — no early stop on the

@@ -123,17 +123,15 @@ object LumberjackCodec {
     // BEST_SPEED: encode exists to synthesize frames for the decode path
     // (the reference only DECODES lumberjack); zlib decoding is
     // level-agnostic, so this only changes encode CPU, not any golden
-    val deflater =
-      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val deflater = encoders.get()
+    deflater.reset()
     val zipped = new java.io.ByteArrayOutputStream()
-    try {
-      deflater.setInput(raw); deflater.finish()
-      val buf = new Array[Byte](4096)
-      while (!deflater.finished()) {
-        val k = deflater.deflate(buf)
-        zipped.write(buf, 0, k)
-      }
-    } finally deflater.end()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) {
+      val k = deflater.deflate(buf)
+      zipped.write(buf, 0, k)
+    }
     val z = zipped.toByteArray
     val out = new java.io.ByteArrayOutputStream(z.length + 12)
     out.write(Version); out.write(CodeWindow); writeU32(out, emitted)
@@ -147,6 +145,16 @@ object LumberjackCodec {
     */
   private final val MaxInflatedBytes: Int = 256 << 20
 
+  // A zlib context is ~256 KB of native state and deflateInit/inflateInit
+  // dominated the per-frame codec cost when allocated per call (the codec
+  // runs per ROW). One context per executor thread, reset() per frame;
+  // never end()'d — a handful of contexts per JVM is bounded, and a stuck
+  // inflater abandoned mid-frame is recovered by the reset on next use.
+  private val encoders = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
+  private val decoders = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater())
+
   /** null on any malformed input (truncated header, bad zlib, truncated
     * event block) — the batch form of warn+drop.
     */
@@ -156,21 +164,20 @@ object LumberjackCodec {
           frame(6) != Version || frame(7) != CodeCompressed) return null
       val zLen = readU32(frame, 8).toInt
       if (zLen < 0 || 12 + zLen > frame.length) return null
-      val inflater = new java.util.zip.Inflater()
+      val inflater = decoders.get()
+      inflater.reset()
       val out = new java.io.ByteArrayOutputStream(math.min(zLen * 4, 1 << 20))
-      try {
-        inflater.setInput(frame, 12, zLen)
-        val buf = new Array[Byte](4096)
-        while (!inflater.finished()) {
-          val k = inflater.inflate(buf)
-          // bail on ANY stuck non-finished state (truncated stream,
-          // FDICT/needsDictionary, or an otherwise wedged inflater) —
-          // never spin inside the task on crafted bytes
-          if (k == 0 && !inflater.finished()) return null
-          out.write(buf, 0, k)
-          if (out.size() > MaxInflatedBytes) return null // zip-bomb guard
-        }
-      } finally inflater.end()
+      inflater.setInput(frame, 12, zLen)
+      val buf = new Array[Byte](4096)
+      while (!inflater.finished()) {
+        val k = inflater.inflate(buf)
+        // bail on ANY stuck non-finished state (truncated stream,
+        // FDICT/needsDictionary, or an otherwise wedged inflater) —
+        // never spin inside the task on crafted bytes
+        if (k == 0 && !inflater.finished()) return null
+        out.write(buf, 0, k)
+        if (out.size() > MaxInflatedBytes) return null // zip-bomb guard
+      }
       val raw = out.toByteArray
       val events = scala.collection.mutable.ArrayBuffer.empty[Any]
       var off = 0

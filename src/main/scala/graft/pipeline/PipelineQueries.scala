@@ -273,6 +273,12 @@ object PipelineQueries {
         lit("\", \"k\": \""), col("event_id") + 1000000, lit("\"}"))
       val decoded = lumberjack_decode(lumberjack_encode(array(p1, p2)))
       Transcripts.events(s, dir)
+        // a shuffle-free job is as wide as its input SPLITS, and the events
+        // table is ONE 2 MB file — the zlib codec (the whole cost here) ran
+        // single-threaded. One cheap shuffle of the tiny base columns turns
+        // the CPU-bound codec stage cluster-wide; at real scale a
+        // lumberjack batch source has abundant splits and needs none.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), explode(decoded).as("e"))
         // hoist the parsed map: a multiply-referenced non-trivial alias stays
         // un-inlined (CollapseProject), so the JSON parse runs ONCE per row
