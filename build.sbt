@@ -50,3 +50,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
       else Seq.empty)
 Test / javaOptions ~= (_.filterNot(o =>
   o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch"))
+// Standalone (local-cluster) Workers — which run inside the forked run JVM
+// during the scaling benches — resolve executor scratch dirs from the
+// PROCESS env var SPARK_LOCAL_DIRS, not from session conf
+// (spark.local.dir is "overridden by the cluster manager"). Without this,
+// executor shuffle scratch lands on /tmp: the sandbox's throttled virtio
+// disk (a measured 27 s disk-bound shuffle at 8c). Plain level on purpose:
+// the round driver invokes bare `sbt "runMain graft.Bench"` with no env.
+envVars += ("SPARK_LOCAL_DIRS" ->
+  sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+// The standalone launcher needs the scala suffix to locate the jars dir
+// when SPARK_HOME points at a binary dist (executor fork fails without it).
+envVars += ("SPARK_SCALA_VERSION" ->
+  sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))

@@ -127,20 +127,35 @@ object Bench {
 
     // Scaling evidence: the FULL pipeline (parquet scan -> parse ->
     // enrich -> route -> ordered per-sink writes + manifest + aggregates
-    // — the reference's actual end-to-end metric), at 2 vs 8 cores under
-    // CLOCK PARITY (every level runs with all 32 cores occupied: Spark
-    // gets c threads, the rest run nice-19 spinners that yield instantly
-    // under CFS but hold all-core clocks — idle-core turbo otherwise
-    // inflates the small level ~1.5x, headroom a real N-executor cluster
-    // never gets). The transform-only kernel above (turns_per_sec_32c) is
-    // the parse compute ceiling; it is DRAM-latency-bound and per-core
-    // decays with co-runners on this one-memory-system VM, which is why
-    // the scaling criterion is evidenced on the full job — full rationale
-    // and the raw (no-parity) pair in BENCH/BASELINE.md. Trials INTERLEAVE
-    // the two levels so an ambient noisy-neighbor window degrades both
-    // instead of silently cratering one (best-of per level after).
+    // — the reference's actual end-to-end metric), at two CLUSTER SIZES:
+    // local-cluster with 1 vs 4 forked 2-core executor JVMs (each owning
+    // its heap/GC/JIT like a cluster node — the faithful "add workers"
+    // analogue; `local[N]` couples the levels through one shared
+    // allocator). Cluster trials run RAW — every clock-parity design
+    // (nice-19 spinners, SCHED_IDLE spinners, cpuset partition) perturbed
+    // cross-JVM RPC/shuffle wakeups more than the idle-core-turbo
+    // confound it removes; the confound inflates the 1-worker level and
+    // so biases the reported efficiency DOWNWARD, the conservative
+    // direction, and the co-run leg below is the turbo-free estimate.
+    // The transform-only kernel above (turns_per_sec_32c) is the parse
+    // compute ceiling; it is DRAM-latency-bound and per-core decays with
+    // co-runners on this one-memory-system VM, which is why the scaling
+    // criterion is evidenced on the full job — full rationale in
+    // BENCH/BASELINE.md. Trials INTERLEAVE the two levels so an ambient
+    // noisy-neighbor window degrades both instead of silently cratering
+    // one (best-of per level after). Each cluster trial forks cold
+    // executor JVMs, so it first runs a FULL-SIZE warmup inside the
+    // session (every executor Janino+C2-compiles its own codegen classes
+    // outside the measured window, symmetrically at both levels — a
+    // quarter-size warm measurably left 4-worker trials intermittently
+    // interpreter-bound).
+    // full bench size, NOT a fraction: at 2M turns each of the 4 forked
+    // executors warms on only ~500k rows and intermittently enters the
+    // measured window with un-compiled hot paths (measured: 152 vs ~90
+    // steady task-CPU-sec — per-turn CPU doubles); at 4M (1M rows per
+    // executor) the CPU companion stabilizes
     val scaleTurns = sys.env.get("SPARK_GRAFT_SCALE_TURNS").map(_.toLong)
-      .getOrElse(math.max(2000000L, benchTurns / 2))
+      .getOrElse(math.max(4000000L, benchTurns))
     val scalePath = inputPath + "_scale"
     locally {
       val s = session(8)
@@ -163,13 +178,15 @@ object Bench {
     val trials8 = scala.collection.mutable.ArrayBuffer.empty[ScaleBench.Trial]
     val trials2 = scala.collection.mutable.ArrayBuffer.empty[ScaleBench.Trial]
     val gates = scala.collection.mutable.ArrayBuffer.empty[Boolean]
-    val maxPairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt).getOrElse(6)
+    val maxPairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt).getOrElse(4)
     var pair = 0
     while (pair < maxPairs) {
       pair += 1
       gates += ScaleBench.awaitQuiet(60000, 2.5)
-      trials2 += ScaleBench.runOnce(2, scalePath, s"$scaleRoot/out-2-$pair", scaleTurns)
-      trials8 += ScaleBench.runOnce(8, scalePath, s"$scaleRoot/out-8-$pair", scaleTurns)
+      trials2 += ScaleBench.runOnce(2, scalePath, s"$scaleRoot/out-2-$pair",
+        scaleTurns, execs = Some(1), warmInput = Some(scalePath))
+      trials8 += ScaleBench.runOnce(8, scalePath, s"$scaleRoot/out-8-$pair",
+        scaleTurns, execs = Some(4), warmInput = Some(scalePath))
     }
     val tput8 = trials8.map(_.tput).max
     val tput2 = trials2.map(_.tput).max
@@ -177,17 +194,20 @@ object Bench {
     val cpuEff = trials2.map(_.cpuSec).min / trials8.map(_.cpuSec).min
     val util2 = trials2.maxBy(_.tput).utilization(2)
     val util8 = trials8.maxBy(_.tput).utilization(8)
-    // hardware-normalized leg: one 8-core job vs FOUR CONCURRENT 2-core
-    // jobs (child JVMs) — both sides put identical aggregate pressure on
-    // the box's shared L3/DRAM/clocks, which the plain 2c-vs-8c pair
-    // cannot (2 lone threads enjoy the whole cache hierarchy, headroom
-    // no real N-executor cluster has over its 4N sibling). The remaining
-    // ratio is the engine's own wide-vs-narrow overhead.
+    // hardware-normalized leg: one 4-worker cluster vs FOUR CONCURRENT
+    // 1-worker clusters (child JVMs, each forking its own 2-core
+    // executor) — both sides put identical aggregate pressure on the
+    // box's shared L3/DRAM/clocks, which the plain 1-vs-4-worker pair
+    // cannot (a lone 2-core executor enjoys the whole cache hierarchy
+    // and idle-core turbo, headroom no real N-executor cluster has over
+    // its 4N sibling). The remaining ratio is the engine's own
+    // wide-vs-narrow overhead. Raw like the main trials: the children
+    // themselves keep the box as busy as the 4-worker trial, so the
+    // turbo confound cancels by construction.
     val corunAggs: Seq[Option[Double]] = (1 to 2).map { i =>
       ScaleBench.awaitQuiet(60000, 2.5)
-      ScaleBench.withSpinners(24) {
-        ScaleBench.corun(4, 2, scalePath, s"$scaleRoot/co-$i", scaleTurns)
-      }
+      ScaleBench.corun(4, 2, scalePath, s"$scaleRoot/co-$i", scaleTurns,
+        execs = Some(1))
     }
     // a failed child JVM marks the leg null in the JSON (never Infinity /
     // an aggregate silently missing one job's throughput)
@@ -217,9 +237,12 @@ object Bench {
       s""""scaling_corun_efficiency_8c_vs_4x2c":${effCorun.map(e => f"$e%.3f").getOrElse("null")},""" +
       s""""scaling_corun_aggregates":${arr(corunAggs.map(_.map(_.round.toString).getOrElse("null")))},""" +
       s""""scaling_load_gates":${arr(gates.map(_.toString).toSeq)},""" +
-      s""""scaling_protocol":"full disk-to-disk pipeline, clock parity,""" +
-      s""" load-gated fixed interleaved pairs + CPU-time companion;""" +
-      s""" see BENCH/BASELINE.md","bench_turns":$benchTurns}"""
+      s""""scaling_protocol":"full disk-to-disk pipeline at two cluster""" +
+      s""" sizes (local-cluster, 1 vs 4 forked 2-core executor JVMs), raw""" +
+      s""" trials (turbo confound biases efficiency downward; co-run leg""" +
+      s""" is the turbo-free estimate), full-size in-session warm,""" +
+      s""" load-gated fixed interleaved pairs + CPU-time companion; see""" +
+      s""" BENCH/BASELINE.md","bench_turns":$benchTurns}"""
     // the stdout line is what the driver captures, but a tmux pane wraps
     // it at pane width and has truncated two rounds' artifacts mid-JSON —
     // the file copy is the always-complete machine-readable record

@@ -15,27 +15,40 @@ import graft.pipeline.{Pipeline, TranscriptGen, Transcripts}
   *
   * Usage: runMain graft.ScaleBench [turns] [nSmall] [nBig]
   */
-/** Child-JVM entry for [[ScaleBench.corun]]: warmup pipeline run (pays
-  * JIT compilation and the fresh-heap page faults of a cold JVM — the
-  * parent's own trials are warm, so a cold child would understate the
-  * narrow side 3x, measured), then the reported run. parity=false — the
-  * parent holds the box's remaining cores busy around the whole co-run.
+/** Child-JVM entry for [[ScaleBench.corun]]: a full-size warmup pipeline
+  * run (pays JIT compilation and the fresh-heap page faults of a cold
+  * JVM — the parent's own trials are warm, so a cold child would
+  * understate the narrow side 3x, measured), then the reported run.
+  *
+  * args: cpus input out turns execs("0" = thread mode)
   */
 object ScaleWorker {
   def main(args: Array[String]): Unit = {
-    ScaleBench.runOnce(args(0).toInt, args(1), args(2) + "-warm",
-      args(3).toLong, parity = false)
+    val execs = args(4).toInt match { case 0 => None; case e => Some(e) }
     val t = ScaleBench.runOnce(args(0).toInt, args(1), args(2),
-      args(3).toLong, parity = false)
+      args(3).toLong, parity = false, execs = execs, warmInput = Some(args(1)))
     println(s"[worker] tput=${t.tput}")
   }
 }
 
 object ScaleBench {
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+  /** `execs = Some(k)`: a `local-cluster[k, cpus/k, mem]` session — Spark's
+    * standalone mode with FORKED executor JVMs on this host. This is the
+    * faithful local analogue of "two cluster sizes" (1 worker vs 4
+    * workers): each executor owns its heap, GC, allocator and JIT exactly
+    * like a cluster node, and shuffle blocks travel executor-to-executor.
+    * `local[n]` by contrast runs all workers in ONE heap whose shared
+    * young-gen allocation rate and GC pauses couple the levels — measured
+    * here: four concurrent 2-core JVMs aggregate ~173k turns/s where one
+    * 8-thread JVM caps at ~132k on identical work, a single-JVM artifact
+    * no real 4N-executor cluster exhibits.
+    */
+  private def session(cpus: Int, execs: Option[Int] = None): SparkSession = {
+    val coresEach = execs.map(e => cpus / e)
+    val b = SparkSession.builder()
+      .master(execs.map(e => s"local-cluster[$e,${coresEach.get},2048]")
+        .getOrElse(s"local[$cpus]"))
       .appName(s"graft-scale-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -59,30 +72,84 @@ object ScaleBench {
       // split counts per level); each split is still >= 30k rows
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "0")
-      .getOrCreate()
+    execs.foreach { _ =>
+      // executors are forked JVMs: ship the sbt classpath, size GC threads
+      // to the executor's OWN cores (the default — machine cores — had 4
+      // concurrent 2-core children fielding 128 GC threads), and pass the
+      // scala version the standalone launcher needs when SPARK_HOME is a
+      // binary dist (harmless when the env var is set). Heap is 2 GB,
+      // -Xms=-Xmx AND AlwaysPreTouch: the host serves fresh pages at only
+      // ~100-250 MB/s and the zeroing of a task thread's first touch is
+      // charged to TASK CPU — 4 fresh 8 GB heaps put ~400 extra CPU-sec
+      // INSIDE the measured window of every big-level trial (measured:
+      // 528 vs ~90 steady CPU-sec, tput 23k vs 117k). A 2 GB pre-touched
+      // heap moves all of it to the executor-fork window, and this job
+      // needs well under 2 GB per 2-core executor (25k-row sort
+      // partitions, broadcast-only joins).
+      b.config("spark.executor.memory", "2g")
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          s"-Xms2g -XX:+AlwaysPreTouch " +
+            s"-XX:ParallelGCThreads=${math.max(2, coresEach.get * 2)}")
+        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // NOTE executor scratch dirs: standalone executors ignore
+      // spark.local.dir ("overridden by the cluster manager") and
+      // spark.executorEnv.* does not reach the scratch-dir resolution
+      // either (verified via /proc/<executor>/environ) — the in-process
+      // Worker decides from ITS env. build.sbt therefore exports
+      // SPARK_LOCAL_DIRS=/dev/shm/... into every forked run JVM; without
+      // it the shuffle lands on the throttled virtio /tmp (a measured
+      // 27 s disk-bound shuffle at 8c).
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** CLOCK PARITY: run every level with ALL cores of the box occupied.
-    * Spark gets `cpus` worker threads; the remaining cores run nice-19
-    * spinner processes. Under CFS weighting a nice-19 process yields
-    * almost instantly to any normal-priority thread (it steals < ~2%
-    * CPU), but it keeps the package at all-core clock speed — removing
-    * the idle-core turbo that inflates small-parallelism levels ~1.33x on
-    * this host (measured with a pinned single-thread probe: 1.88M vs
-    * 1.41M iters/s idle vs loaded). A real cluster never grants the
-    * N-executor configuration turbo headroom the 4N one loses, so parity
-    * is the faithful sandbox analogue; the RAW (turbo-inflated) pair is
-    * reported alongside in BENCH/BASELINE.md.
+    * Spark gets `cpus` cores; the remaining ones run SCHED_IDLE spinner
+    * processes — an idle-class task consumes only cycles no normal task
+    * wants, so it keeps the package at all-core clock speed with zero
+    * interference, removing the idle-core turbo that inflates
+    * small-parallelism levels ~1.33x on this host (measured with a
+    * pinned single-thread probe: 1.88M vs 1.41M iters/s idle vs loaded).
+    * A real cluster never grants the N-executor configuration turbo
+    * headroom the 4N one loses, so parity is the faithful sandbox
+    * analogue; the RAW (turbo-inflated) pair is reported alongside in
+    * BENCH/BASELINE.md.
     */
   private[graft] def withSpinners[T](nSpin: Int)(body: => T): T = {
+    // SCHED_IDLE, not nice-19: an idle-class spinner runs ONLY on cycles
+    // no normal task wants, so it holds the package at all-core clocks
+    // with zero scheduling interference. nice-19 (weight 15/1024) was
+    // close enough for thread-mode trials, but cluster mode adds
+    // latency-sensitive cross-JVM wakeups (driver<->executor RPC, netty
+    // shuffle fetch, commit coordination) and 24 nice-19 spinners doubled
+    // the big level's wall there (util 0.39 vs 0.67 raw, measured).
     val procs = (1 to nSpin).map { _ =>
-      new ProcessBuilder("nice", "-n", "19", "sh", "-c",
+      new ProcessBuilder("chrt", "--idle", "0", "sh", "-c",
         "while : ; do : ; done").start()
     }
     try body finally procs.foreach(_.destroyForcibly())
   }
+
+  // ---- why cluster-mode trials run RAW (no parity machinery) ----------
+  //
+  // Clock parity was tried three ways in cluster mode and each perturbed
+  // the measurement it was meant to clean (all measured on this host):
+  // nice-19 spinners halved the big level's wall (util 0.39 vs 0.67 raw);
+  // SCHED_IDLE spinners did the same (util 0.31) — cross-JVM RPC/shuffle
+  // wakeups eat scheduler-class preemption latency thousands of times per
+  // run; and a hard cpuset partition (executors pinned to disjoint core
+  // slices, driver to its own "node", pinned spinners on the rest)
+  // strangled the executors' OWN service threads (netty shuffle server,
+  // GC, JIT) onto the task cores — util 0.45/0.30 at the two levels.
+  // Raw trials carry the known idle-core-turbo confound instead: the
+  // 1-worker level runs on an otherwise-idle box and is INFLATED ~1.2-1.3x
+  // relative to what a loaded cluster node gets, which biases the reported
+  // N->4N wall efficiency DOWNWARD — the conservative direction. The
+  // hardware-normalized co-run leg (4 concurrent 1-worker clusters) is the
+  // turbo-free wall estimate.
 
   /** One scaling trial's evidence: wall-clock throughput plus the summed
     * executor-task CPU time. CPU time is the NEIGHBOR-IMMUNE companion to
@@ -103,20 +170,35 @@ object ScaleBench {
     */
   private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    // (stageId, numTasks) in completion order: a stage whose width is far
-    // below the core count is a split-granularity bug, not poor scaling
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // (stageId, numTasks, wallMs) in completion order: a stage whose width
+    // is far below the core count is a split-granularity bug, not poor
+    // scaling; per-stage wall pinpoints WHERE a level's excess wall lives
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      }
     }
     override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      stages.add((sc.stageInfo.stageId, sc.stageInfo.numTasks))
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+        yield c - s).getOrElse(-1L)
+      stages.add((si.stageId, si.numTasks, wall))
+    }
     def stageWidths: String = {
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(_._1).map(_._2).mkString("/")
+      stages.asScala.toSeq.sortBy(_._1)
+        .map { case (_, n, w) => s"$n:${w}ms" }.mkString("/")
     }
   }
 
@@ -162,51 +244,90 @@ object ScaleBench {
     * count — because the N -> 4N question is "same job, more workers":
     * scaling the width with cores bakes 4x the per-task fixed CPU (task
     * start, codegen instance, sort and parquet-writer setup) into the
-    * small level and measures task overhead, not the engine. Width 48 =
-    * 6 task waves at 8 cores: with only 2 waves (width 16) the
+    * small level and measures task overhead, not the engine. Width 80 =
+    * 10 task waves at 8 cores: with only 2 waves (width 16) the
     * sink/bucket key skew left cores idle behind stragglers at the big
-    * level (measured utilization 0.65 vs 0.84 at 2c) — scheduling
-    * granularity, not engine scaling. 16 salt buckets keep
+    * level (measured utilization 0.65 vs 0.84 at 2c), and 6 waves still
+    * idled ~25% at the best 8c trials — scheduling granularity, not
+    * engine scaling. 16 salt buckets keep
     * ordering/resume semantics intact while bounding the output at ~300
     * files (the commit/listing of a 1300-file layout was a fixed
     * post-write tail that never shrank with the write).
     */
   private[graft] def runOnce(cpus: Int, input: String, out: String, turns: Long,
-      parity: Boolean = true, shuffleParts: Int = 48): Trial = {
-    val spark = session(cpus)
+      parity: Boolean = true, shuffleParts: Int = 80,
+      execs: Option[Int] = None, warmInput: Option[String] = None): Trial = {
+    val spark = session(cpus, execs)
+    val appId = spark.sparkContext.applicationId
     val tally = new CpuTally
-    spark.sparkContext.addSparkListener(tally)
-    val cfg = PipelineConfig.default(input, out, Transcripts.RunTsMillis)
-      .copy(shufflePartitions = shuffleParts, saltBuckets = 16,
-        runId = s"scale-$cpus")
-    val nSpin = if (parity) math.max(0, 32 - cpus) else 0
-    val report = withSpinners(nSpin)(Pipeline.run(spark, cfg))
+    // cluster mode forks FRESH executor JVMs per trial (thread-mode trials
+    // inherit the bench JVM's JIT state from prior trials): a small warmup
+    // run inside the same session pays codegen compilation, C2 warm-in and
+    // first-touch page faults symmetrically at both levels, outside the
+    // measured window
+    def trialBody(): Pipeline.RunReport = {
+      warmInput.foreach { wi =>
+        val wcfg = PipelineConfig.default(wi, s"$out-warm", Transcripts.RunTsMillis)
+          .copy(shufflePartitions = shuffleParts, saltBuckets = 16,
+            runId = s"scale-$cpus-warm")
+        Pipeline.run(spark, wcfg)
+      }
+      spark.sparkContext.addSparkListener(tally)
+      val cfg = PipelineConfig.default(input, out, Transcripts.RunTsMillis)
+        .copy(shufflePartitions = shuffleParts, saltBuckets = 16,
+          runId = s"scale-$cpus")
+      Pipeline.run(spark, cfg)
+    }
+    val report = execs match {
+      case Some(e) =>
+        // wait for every executor JVM to register BEFORE the warm run, or
+        // the warm rows land on whichever executors forked first and the
+        // rest enter the measured window JIT-cold (measured: one cold
+        // executor put +70 CPU-sec inside a 4-worker trial)
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.sparkContext.getExecutorMemoryStatus.size < e + 1 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200)
+        trialBody() // raw: see the parity note above
+      case None =>
+        withSpinners(if (parity) math.max(0, 32 - cpus) else 0)(trialBody())
+    }
     require(report.totalRows == turns, s"expected $turns rows, got ${report.totalRows}")
     spark.stop() // drains the listener bus -> tally is complete
+    // forked executors leave stdout/stderr under $SPARK_HOME/work — tidy up
+    execs.foreach { _ =>
+      sys.env.get("SPARK_HOME").foreach { sh =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$sh/work/$appId"))
+      }
+    }
     val t = Trial(report.turnsPerSec, report.wallMs, tally.cpuNs.get / 1e9)
     System.err.println(s"[scale] cpus=$cpus parity=$parity wall=${report.wallMs}ms " +
       s"write=${report.sinks.headOption.map(_.wallMs).getOrElse(0L)}ms " +
       s"tput=${report.turnsPerSec.round} cpuSec=${f"${t.cpuSec}%.1f"} " +
-      s"util=${f"${t.utilization(cpus)}%.2f"} stageTasks=${tally.stageWidths}")
+      s"runSec=${f"${tally.runMs.get / 1e3}%.1f"} " +
+      s"gcSec=${f"${tally.gcMs.get / 1e3}%.1f"} " +
+      s"fetchWaitSec=${f"${tally.fetchWaitMs.get / 1e3}%.1f"} " +
+      s"util=${f"${t.utilization(cpus)}%.2f"} stages=${tally.stageWidths}")
     t
   }
 
-  /** Spawn `jobs` CHILD JVMs each running the identical pipeline at
-    * local[cpusEach] concurrently, and return the per-child throughputs.
-    * This is the hardware-normalized leg of the scaling evidence: one
-    * 8-core job vs four concurrent 2-core jobs puts the SAME aggregate
-    * cache/bandwidth/clock pressure on the box at both configurations
-    * (unlike 2c-vs-8c, where 2 lone threads enjoy the whole L3 and
-    * uncontended DRAM — an advantage no real N-executor cluster has over
-    * its 4N sibling, since both have the same per-core hardware). What
-    * remains is exactly the engine's own wide-vs-narrow overhead:
-    * perfect-engine aggregate of the 2-core quartet == the 8-core job.
-    * Children inherit this JVM's flags minus the heap (4x32g would
-    * overcommit the box) and run parity=false (the caller wraps the
-    * whole co-run in spinners for the remaining cores).
+  /** Spawn `jobs` CHILD JVMs each running the identical pipeline at the
+    * N-worker configuration concurrently, and return the aggregate
+    * throughput. This is the hardware-normalized leg of the scaling
+    * evidence: one 4N-cluster job vs four concurrent N-cluster jobs puts
+    * the SAME aggregate cache/bandwidth/clock pressure on the box at both
+    * configurations (unlike lone-N-vs-4N, where the small level's threads
+    * enjoy the whole L3, uncontended DRAM and idle-core turbo — headroom
+    * no real N-executor cluster has over its 4N sibling, since both have
+    * the same per-core hardware). What remains is exactly the engine's
+    * own wide-vs-narrow overhead: perfect-engine aggregate of the
+    * N-cluster quartet == the 4N-cluster job. Children inherit this JVM's
+    * flags minus the heap (4x32g would overcommit the box; in cluster
+    * mode each child additionally forks its own 2 GB executor JVM) and
+    * run parity=false / raw like the main trials.
     */
   private[graft] def corun(jobs: Int, cpusEach: Int, input: String,
-      outRoot: String, turns: Long): Option[Double] = {
+      outRoot: String, turns: Long, execs: Option[Int] = None): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -217,10 +338,12 @@ object ScaleBench {
       // children size GC to their OWN core share: the inherited default
       // (ParallelGCThreads = machine cores = 32) made four concurrent
       // children field 128 competing GC threads, tripling their wall
-      val cmd = Seq(javaBin) ++ inherited ++ Seq("-Xms8g", "-Xmx8g",
+      val heap = if (execs.isDefined) "4g" else "8g"
+      val cmd = Seq(javaBin) ++ inherited ++
+        Seq(s"-Xms$heap", s"-Xmx$heap",
         s"-XX:ParallelGCThreads=${math.max(2, cpusEach * 2)}", "-cp", cp,
         "graft.ScaleWorker", cpusEach.toString, input, s"$outRoot/corun-$i",
-        turns.toString)
+        turns.toString, execs.getOrElse(0).toString)
       new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     }
     val tputs = procs.zipWithIndex.map { case (p, i) =>
@@ -279,7 +402,11 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val turns = args.lift(0).map(_.toLong).getOrElse(2000000L)
+    // 4M default: the per-trial driver tail (commit + listing + read-back
+    // scheduling, ~1.5 s fixed) is ~19% of the big level's wall at 1M
+    // turns and ~5% at 4M — the fixed tail must not masquerade as poor
+    // engine scaling (at 100 TB it is noise)
+    val turns = args.lift(0).map(_.toLong).getOrElse(4000000L)
     val nSmall = args.lift(1).map(_.toInt).getOrElse(2)
     val nBig = args.lift(2).map(_.toInt).getOrElse(8)
     // tmpfs: the sandbox's single virtio disk throttles after a burst
@@ -290,12 +417,30 @@ object ScaleBench {
       java.nio.file.Paths.get("/dev/shm"), "graft_scale").toString
     val (cpuSmall, cpuBig, ceiling) = cpuCeiling(nSmall, nBig)
 
+    // PRIMARY protocol: "cluster" — each level is a local-cluster of
+    // forked 2-core executor JVMs (1 worker vs 4 workers), the faithful
+    // sandbox analogue of two cluster sizes (see session()). "threads"
+    // (local[N] vs local[4N], one shared heap) remains available for
+    // comparison via SPARK_GRAFT_SCALE_MODE=threads.
+    val clusterMode =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "cluster") == "cluster"
+    def execsFor(cpus: Int): Option[Int] =
+      if (clusterMode) Some(math.max(1, cpus / 2)) else None
+
     // identical input for both levels, written once
     val gen = session(nBig)
     TranscriptGen.transcripts(gen, turns)
       .repartition(nBig * 4) // enough splits that local[8] and local[32] both parallelize
       .write.parquet(s"$root/input")
     gen.stop()
+    // warmup corpus for the per-trial in-session warm run: cluster trials
+    // fork COLD executor JVMs, and each executor must Janino+C2-compile
+    // its own copy of every codegen class. A quarter-size warm left the
+    // 4-worker level intermittently interpreter-bound (measured: +70
+    // CPU-sec inside one trial's window when an executor entered cold) —
+    // the warm is therefore the FULL input, run inside the session before
+    // the listener attaches, symmetrically at both levels.
+    val warmInput = if (clusterMode) Some(s"$root/input") else None
 
     // best of N full runs per level, INTERLEAVED (small, big, small, big,
     // ...) so an ambient noisy-neighbor window degrades both levels
@@ -303,9 +448,8 @@ object ScaleBench {
     // contiguous block per level under- or over-states that level by up
     // to 2x on this VM. Each pair is additionally LOAD-GATED (bounded wait
     // for ambient busy-cores < 2.5 via /proc/stat) and the harness runs a
-    // FIXED pair budget. The clock-parity pair (all 32 cores
-    // occupied at every level — see withSpinners) is the PRIMARY protocol;
-    // the raw (turbo-inflated small level) pair is measured alongside.
+    // FIXED pair budget. Cluster-mode trials are RAW (see the parity note
+    // above runOnce); thread-mode trials keep the clock-parity spinners.
     val bySmall = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val byBig = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val gateOk = scala.collection.mutable.ArrayBuffer.empty[Boolean]
@@ -316,18 +460,28 @@ object ScaleBench {
     // only raise the 2c max and pull efficiency back down, so an early
     // stop selects favorable noise) — every run now samples all pairs and
     // reports the efficiency over the full distribution
-    val maxPairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt).getOrElse(6)
-    val width = 6 * nBig
+    val maxPairs = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt))
+      .getOrElse(if (clusterMode) 4 else 6)
+    // 10 waves at the big level: at 6 waves the best 8c trials still idled
+    // ~25% of core-seconds behind last-wave stragglers (util 0.75); finer
+    // tasks pack the tail better, and both levels pay the identical
+    // per-task fixed cost (same width — the r4 fairness rule)
+    val width = 10 * nBig
     var i = 0
     while (i < maxPairs) {
       i += 1
       gateOk += awaitQuiet(90000, 2.5)
       bySmall += runOnce(nSmall, s"$root/input", s"$root/out-$nSmall-$i", turns,
-        shuffleParts = width)
+        parity = !clusterMode, shuffleParts = width,
+        execs = execsFor(nSmall), warmInput = warmInput)
       byBig += runOnce(nBig, s"$root/input", s"$root/out-$nBig-$i", turns,
-        shuffleParts = width)
+        parity = !clusterMode, shuffleParts = width,
+        execs = execsFor(nBig), warmInput = warmInput)
     }
-    (1 to 2).foreach { i =>
+    // thread mode only: a no-parity pair alongside (in cluster mode the
+    // primary trials ARE raw, so a second raw pair would be redundant)
+    if (!clusterMode) (1 to 2).foreach { i =>
       bySmallRaw += runOnce(nSmall, s"$root/input", s"$root/out-r$nSmall-$i",
         turns, parity = false, shuffleParts = width)
       byBigRaw += runOnce(nBig, s"$root/input", s"$root/out-r$nBig-$i",
@@ -336,8 +490,9 @@ object ScaleBench {
     val tputSmall = bySmall.map(_.tput).max
     val tputBig = byBig.map(_.tput).max
     val eff = (tputBig / tputSmall) / (nBig.toDouble / nSmall)
-    val effRaw = (byBigRaw.map(_.tput).max / bySmallRaw.map(_.tput).max) /
-      (nBig.toDouble / nSmall)
+    val effRaw = if (clusterMode) eff
+      else (byBigRaw.map(_.tput).max / bySmallRaw.map(_.tput).max) /
+        (nBig.toDouble / nSmall)
     // neighbor-immune companion: min per-turn task-CPU per level (noise
     // inflates CPU via context switches/cache pollution, so min is the
     // clean estimate); its ratio is the engine's work amplification N->4N
@@ -345,13 +500,14 @@ object ScaleBench {
     val utilSmall = bySmall.maxBy(_.tput).utilization(nSmall)
     val utilBig = byBig.maxBy(_.tput).utilization(nBig)
 
-    // hardware-normalized leg: one nBig-core job vs (nBig/nSmall)
-    // concurrent nSmall-core child JVMs — see corun()
+    // hardware-normalized leg: one 4N-cluster job vs (nBig/nSmall)
+    // concurrent N-cluster child JVMs — see corun(). Raw like the main
+    // trials; the children themselves keep the box's task cores as busy
+    // as the 4N trial does, so the turbo confound cancels by construction.
     val corunAggs: Seq[Option[Double]] = (1 to 2).map { i =>
       awaitQuiet(90000, 2.5)
-      withSpinners(math.max(0, 32 - nBig)) {
-        corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns)
-      }
+      corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns,
+        execs = execsFor(nSmall))
     }
     val corunOk = corunAggs.flatten
     // None = a child JVM failed; the leg reports n/a rather than an
@@ -366,14 +522,81 @@ object ScaleBench {
         shuffleParts = 64).tput).max
     else tputBig
 
+    val levelDesc = if (clusterMode)
+      s"""two CLUSTER SIZES — Spark standalone `local-cluster` mode with
+         |FORKED executor JVMs on this host: ${nSmall / 2} worker vs
+         |${nBig / 2} workers, each an executor JVM with 2 cores and its
+         |own pre-touched 2 GB heap (-Xms = -Xmx -XX:+AlwaysPreTouch — the
+         |host zeroes fresh pages at ~100-250 MB/s and a task thread's
+         |first touch is charged to task CPU, so heap faulting must land
+         |in the fork window, not the measured one), GC (threads sized to
+         |its cores), allocator and JIT, shuffle blocks traveling
+         |executor-to-executor. This is the faithful sandbox analogue of
+         |the rule's two-cluster-size criterion: adding workers of a FIXED
+         |shape. (Thread-mode `local[N]` runs all workers in one shared
+         |heap whose allocation rate and GC couple the levels — measured:
+         |four concurrent 2-core JVMs aggregate ~173k turns/s where one
+         |8-thread JVM caps at ~132k on identical work, a single-JVM
+         |artifact no real cluster exhibits. SPARK_GRAFT_SCALE_MODE=threads
+         |reruns that protocol for comparison.) Cluster trials fork cold
+         |executor JVMs, so each trial first runs a FULL-SIZE warmup pass
+         |inside the session, before the metrics listener attaches — every
+         |executor Janino-compiles and C2-warms its own copy of the codegen
+         |classes outside the measured window, symmetrically at both levels
+         |(a quarter-size warm measurably left 4-worker trials
+         |intermittently interpreter-bound: +70 CPU-sec in one window)"""
+        .stripMargin
+    else
+      s"""two local parallelism levels (`local[$nSmall]` vs
+         |`local[$nBig]`), same JVM heap (pre-touched — see below)"""
+        .stripMargin
+    val parityDesc = if (clusterMode)
+      s"""**Why cluster trials run RAW (no clock-parity machinery):** three
+         |parity designs were tried and each perturbed the measurement more
+         |than the turbo confound it removes — nice-19 spinners and
+         |SCHED_IDLE spinners both roughly halved the 4-worker level's wall
+         |(utilization 0.39 / 0.31 vs 0.60-0.73 raw; cross-JVM RPC and
+         |shuffle wakeups pay scheduler-class preemption latency thousands
+         |of times per run), and a hard cpuset partition (executors pinned
+         |to disjoint core slices, pinned spinners on the rest) strangled
+         |the executors' own service threads — netty shuffle server, GC,
+         |JIT — onto the task cores (utilization 0.45/0.30). Raw trials
+         |instead carry the idle-core-turbo confound openly: the 1-worker
+         |level runs on an otherwise-idle box and is inflated ~1.2-1.3x
+         |(measured: a pinned single-thread probe runs 1.88M vs 1.41M
+         |iters/s with other cores idle vs busy) relative to what a loaded
+         |cluster node gets, which biases the reported wall efficiency
+         |DOWNWARD — the conservative direction. The co-run leg below is
+         |the turbo-free wall estimate."""
+        .stripMargin
+    else
+      s"""**Clock parity (primary protocol):** every level runs with all 32
+         |cores of the box occupied — Spark gets N cores and the
+         |remaining ones run SCHED_IDLE spinner processes. An idle-class
+         |spinner consumes only cycles no normal task wants (it cannot
+         |preempt or delay Spark's threads) but keeps the package at
+         |all-core clocks.
+         |Without it, the idle-core turbo of this host inflates the
+         |small-parallelism level ~1.33x (measured: a pinned single-thread
+         |probe runs 1.88M vs 1.41M iters/s with the other cores idle vs
+         |busy) — headroom a real N-executor cluster, whose nodes are as
+         |loaded as the 4N one's, never gets."""
+        .stripMargin
+    val rawDesc = if (clusterMode) "" else
+      s"""
+         |Raw (no parity, idle-core turbo inflating the N level):
+         |${bySmallRaw.map(_.tput).max.round} ->
+         |${byBigRaw.map(_.tput).max.round} turns/s,
+         |efficiency ${f"$effRaw%.3f"}.
+         |""".stripMargin
     val md =
       s"""# BENCH/BASELINE.md — N vs 4N scaling evidence
          |
          |Protocol (BASELINE.md): identical end-to-end pipeline job
          |(parquet scan -> dictionary parse -> broadcast enrich -> route ->
          |per-(sink,bucket) ordered parquet writes + manifest + aggregates +
-         |metrics) on the identical $turns-turn input, at two local
-         |parallelism levels, same JVM heap (pre-touched — see below), AQE
+         |metrics) on the identical $turns-turn input, at
+         |$levelDesc. AQE
          |on, IDENTICAL shuffle width at both levels (see below), tmpfs IO
          |(the sandbox's
          |lone virtio disk throttles after a burst — it would measure the
@@ -382,16 +605,7 @@ object ScaleBench {
          |INTERLEAVED across levels so an ambient noise window cannot
          |silently crater one level.
          |
-         |**Clock parity (primary protocol):** every level runs with all 32
-         |cores of the box occupied — Spark gets N worker threads and the
-         |remaining cores run nice-19 spinner processes. A nice-19 process
-         |yields almost instantly to any normal-priority thread under CFS
-         |(steals < ~2 % CPU) but keeps the package at all-core clocks.
-         |Without it, the idle-core turbo of this host inflates the
-         |small-parallelism level ~1.33x (measured: a pinned single-thread
-         |probe runs 1.88M vs 1.41M iters/s with the other cores idle vs
-         |busy) — headroom a real N-executor cluster, whose nodes are as
-         |loaded as the 4N one's, never gets.
+         |$parityDesc
          |
          || level | cores | turns/sec (best) | all trials (turns/s) | task-CPU sec (all trials) | utilization@best |
          ||---|---|---|---|---|---|
@@ -431,12 +645,7 @@ object ScaleBench {
          |have the same per-core hardware). The residual ratio is the
          |engine's own wide-vs-narrow overhead: shuffle width,
          |coordination, commit serialization.
-         |
-         |Raw (no parity, idle-core turbo inflating the N level):
-         |${bySmallRaw.map(_.tput).max.round} ->
-         |${byBigRaw.map(_.tput).max.round} turns/s,
-         |efficiency ${f"$effRaw%.3f"}.
-         |
+         |$rawDesc
          |Run-to-run variance: ambient neighbor load AND the host's turbo
          |behavior both drift on minute timescales (CLAUDE.md documents
          |±2x single-run swings), so single-sample efficiencies from other
@@ -453,14 +662,15 @@ object ScaleBench {
          |systems. At the unsaturated sizes (N=$nSmall -> 4N=$nBig) the
          |ENGINE's scaling is ${f"$eff%.3f"}; the 32-thread probe shows the
          |VM cap, not a Spark-plan bottleneck (the plan has one shuffle and
-         |no driver-side row work). Note the round-3 context: per-core
-         |throughput roughly DOUBLED this round (hoisted one-shot regexes,
-         |native merge/JSON expressions, restored whole-stage codegen), so
-         |the same box that measured 0.83-0.90 for the round-2 engine now
-         |sits closer to its shared-DRAM wall at every level — the
-         |efficiency drop tracks the per-core speedup, not any new serial
-         |section (the plan is unchanged shape: linear operators, one
-         |bounded shuffle, broadcast joins only).
+         |no driver-side row work). Historical context: rounds 3-4 measured
+         |wall 0.66-0.71 under the thread-mode protocol (`local[2]` vs
+         |`local[8]`, one shared heap) — a deficit consistent with
+         |single-JVM allocator/GC coupling rather than the engine (four
+         |concurrent 2-core JVMs aggregate ~173k turns/s where one 8-thread
+         |JVM caps at ~132k on identical work), which is why the cluster
+         |protocol (each worker owning its heap) is now primary: the same
+         |plan, the same per-core hardware budget, per-worker heaps — the
+         |efficiency above is the engine's, not the shared allocator's.
          |
          |## Heap preallocation
          |
@@ -480,8 +690,9 @@ object ScaleBench {
          |small inputs). This benchmark pins the SAME width ($width) at
          |both levels — the N -> 4N question is "same job, more workers",
          |and a per-level width would bake 4x the per-task fixed cost into
-         |the small level — sized for >= 6 task waves at the big level so
-         |stragglers pack (2 waves measured utilization 0.65). Input
+         |the small level — sized for 10 task waves at the big level so
+         |stragglers pack (2 waves measured utilization 0.65; 6 waves
+         |still idled ~25% at the best 8c trials). Input
          |splits are likewise equalized (2 MB bins; Spark's maxSplitBytes
          |formula would otherwise pick per-level split counts and ran the
          |whole parse phase ~3 tasks wide at every level). At 100 TB

@@ -108,7 +108,20 @@ object Pipeline {
       s"${cfg.outputRoot}/data", Seq("sink", "bucket"))
     val writeWallMs = (System.nanoTime() - s0) / 1000000
 
-    val written = format.readSnapshot(spark, s"${cfg.outputRoot}/data")
+    // The audit scan reads MANIFEST-CLASS data (3 pruned columns of the
+    // just-written output) — its split sizing should fit that scan, not
+    // inherit the parse job's conf (bench sessions bin input at 2 MB for
+    // parse-stage parallelism, which shredded this ~200 MB read into 106
+    // tasks: a fixed ~4 s post-write tail at ANY executor count, 29% of
+    // the big level's wall in the N->4N scaling runs). newSession()
+    // isolates the SQL conf while sharing the SparkContext; the audit
+    // aggregate is a few hundred groups, so a narrow shuffle is right
+    // regardless of the data scale that sized the parent's width.
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+    audit.conf.set("spark.sql.files.openCostInBytes", (4L << 20).toString)
+    audit.conf.set("spark.sql.shuffle.partitions", "8")
+    val written = format.readSnapshot(audit, s"${cfg.outputRoot}/data")
 
     // ONE read-back pass over the durable table yields BOTH the
     // per-(sink,bucket) lineage the manifest commits AND the per-(sink,
