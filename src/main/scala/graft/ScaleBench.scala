@@ -326,8 +326,17 @@ object ScaleBench {
     * mode each child additionally forks its own 2 GB executor JVM) and
     * run parity=false / raw like the main trials.
     */
+  /** One co-run leg: aggregate throughput of the concurrent children plus
+    * their mean measured-window task-CPU. The CPU figure is the leg's own
+    * noise diagnosis: hypervisor steal is invisible to guest thread CPU
+    * accounting (a stolen vCPU still accrues), so a leg whose children
+    * burn 2-3x the lone-N trial's task-CPU per turn was hit by a host
+    * neighbor window, not by engine-attributable contention.
+    */
+  private[graft] case class CorunLeg(aggTput: Double, childCpuSecMean: Double)
+
   private[graft] def corun(jobs: Int, cpusEach: Int, input: String,
-      outRoot: String, turns: Long, execs: Option[Int] = None): Option[Double] = {
+      outRoot: String, turns: Long, execs: Option[Int] = None): Option[CorunLeg] = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -346,6 +355,7 @@ object ScaleBench {
         turns.toString, execs.getOrElse(0).toString)
       new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     }
+    val cpuRe = """cpuSec=([0-9.]+)""".r
     val tputs = procs.zipWithIndex.map { case (p, i) =>
       val out = new String(p.getInputStream.readAllBytes())
       val exit = p.waitFor()
@@ -355,6 +365,10 @@ object ScaleBench {
         case l if l.startsWith("[worker] tput=") =>
           l.stripPrefix("[worker] tput=").toDouble
       }
+      val cpu = out.linesIterator.collectFirst {
+        case l if l.startsWith("[scale]") && l.contains("cpuSec=") =>
+          cpuRe.findFirstMatchIn(l).map(_.group(1).toDouble)
+      }.flatten.getOrElse(0.0)
       // a crashed or tput-less child must fail the LEG, not silently
       // shrink the aggregate denominator (which would inflate the reported
       // co-run efficiency — or divide by zero if all children died)
@@ -362,11 +376,14 @@ object ScaleBench {
         System.err.println(s"[scale] corun child $i FAILED " +
           s"(exit=$exit, tputLine=${t.isDefined}); leg marked invalid")
         None
-      } else t
+      } else t.map(tp => (tp, cpu))
     }
     System.err.println(s"[scale] corun ${jobs}x${cpusEach}c tputs=" +
-      tputs.map(_.map(_.round.toString).getOrElse("FAIL")).mkString(", "))
-    if (tputs.forall(_.isDefined)) Some(tputs.flatten.sum) else None
+      tputs.map(_.map(_._1.round.toString).getOrElse("FAIL")).mkString(", "))
+    if (tputs.forall(_.isDefined)) {
+      val ok = tputs.flatten
+      Some(CorunLeg(ok.map(_._1).sum, ok.map(_._2).sum / ok.size))
+    } else None
   }
 
   /** Ambient ceiling: how well THIS machine scales embarrassingly parallel
@@ -504,7 +521,12 @@ object ScaleBench {
     // concurrent N-cluster child JVMs — see corun(). Raw like the main
     // trials; the children themselves keep the box's task cores as busy
     // as the 4N trial does, so the turbo confound cancels by construction.
-    val corunAggs: Seq[Option[Double]] = (1 to 2).map { i =>
+    // THREE legs, best-of (symmetric with the main trials' best-of): a
+    // single leg is hostage to a host-steal window hitting the widest-
+    // parallelism section of the whole harness (measured: one window
+    // dropped a leg's aggregate 90k vs 196k steady and inflated child
+    // task-CPU 2.4x — the per-leg child CPU below is that diagnosis)
+    val corunAggs: Seq[Option[CorunLeg]] = (1 to 3).map { i =>
       awaitQuiet(90000, 2.5)
       corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns,
         execs = execsFor(nSmall))
@@ -512,7 +534,7 @@ object ScaleBench {
     val corunOk = corunAggs.flatten
     // None = a child JVM failed; the leg reports n/a rather than an
     // aggregate silently missing a job's worth of throughput
-    val effCorun: Option[Double] = corunOk.reduceOption(_ max _)
+    val effCorun: Option[Double] = corunOk.map(_.aggTput).reduceOption(_ max _)
       .map(best => tputBig / best)
 
     // saturation probe: the same job at all 32 local threads, to document
@@ -635,9 +657,14 @@ object ScaleBench {
          |**Hardware-normalized co-run efficiency = tput_4N / (aggregate
          |of ${nBig / nSmall} CONCURRENT ${nSmall}-core jobs) =
          |${effCorun.map(e => f"$e%.3f").getOrElse("n/a (child JVM failed)")}**
-         |(aggregates:
-         |${corunAggs.map(_.map(_.round.toString).getOrElse("failed"))
-            .mkString(", ")} turns/s). Both sides
+         |(best of ${corunAggs.size} legs; aggregates:
+         |${corunAggs.map(_.map(_.aggTput.round.toString).getOrElse("failed"))
+            .mkString(", ")} turns/s; mean child task-CPU per leg:
+         |${corunAggs.map(_.map(l => f"${l.childCpuSecMean}%.0f s")
+            .getOrElse("failed")).mkString(", ")} — a leg whose children
+         |burn far more task-CPU per turn than the lone N-core trials
+         |(table above) was hit by a hypervisor-steal window, which guest
+         |CPU accounting cannot exclude). Both sides
          |put identical aggregate pressure on the box's shared
          |L3/DRAM/clocks — the plain N-vs-4N pair cannot ($nSmall lone
          |threads enjoy the whole cache hierarchy, headroom no real
