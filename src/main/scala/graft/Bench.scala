@@ -204,21 +204,26 @@ object Bench {
     // wide-vs-narrow overhead. Raw like the main trials: the children
     // themselves keep the box as busy as the 4-worker trial, so the
     // turbo confound cancels by construction.
-    // three legs, best-of: a single leg is hostage to a host-steal window
-    // hitting the widest-parallelism section of the harness (measured: one
-    // window dropped a leg to 90k aggregate vs 196k steady while inflating
-    // child task-CPU 2.4x; the child-CPU array in the JSON carries that
-    // diagnosis — guest CPU accounting cannot exclude hypervisor steal)
-    val corunAggs: Seq[Option[ScaleBench.CorunLeg]] = (1 to 3).map { i =>
+    // three TIME-PAIRED legs (each leg runs its own fresh 4-worker trial
+    // right before the concurrent children, so the ratio's numerator and
+    // denominator share one noise window — host drift between the pairs
+    // phase and the co-run phase otherwise enters the ratio directly).
+    // A single leg is hostage to a host-steal window hitting the widest-
+    // parallelism section of the harness (measured: one window dropped a
+    // leg to 90k aggregate vs 196k steady while inflating child task-CPU
+    // 2.4x; guest CPU accounting cannot exclude hypervisor steal). The
+    // reported leg is the one with the LOWEST combined task-CPU — the
+    // steal diagnosis — never the best ratio.
+    val corunLegs: Seq[Option[ScaleBench.CorunPair]] = (1 to 3).map { i =>
       ScaleBench.awaitQuiet(60000, 2.5)
-      ScaleBench.corun(4, 2, scalePath, s"$scaleRoot/co-$i", scaleTurns,
-        execs = Some(1))
+      ScaleBench.corunPaired(2, 8, scalePath, s"$scaleRoot/co-$i",
+        scaleTurns, width = 80, execsSmall = Some(1), execsBig = Some(4),
+        warmInput = Some(scalePath))
     }
     // a failed child JVM marks the leg null in the JSON (never Infinity /
     // an aggregate silently missing one job's throughput)
     val effCorun: Option[Double] =
-      corunAggs.flatten.map(_.aggTput).reduceOption(_ max _)
-        .map(best => tput8 / best)
+      corunLegs.flatten.minByOption(_.windowCpu).map(_.eff)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleRoot))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -241,14 +246,17 @@ object Bench {
       s""""scaling_utilization_2c":${f"$util2%.3f"},""" +
       s""""scaling_utilization_8c":${f"$util8%.3f"},""" +
       s""""scaling_corun_efficiency_8c_vs_4x2c":${effCorun.map(e => f"$e%.3f").getOrElse("null")},""" +
-      s""""scaling_corun_aggregates":${arr(corunAggs.map(_.map(_.aggTput.round.toString).getOrElse("null")))},""" +
-      s""""scaling_corun_child_cpu_sec":${arr(corunAggs.map(_.map(l => f"${l.childCpuSecMean}%.1f").getOrElse("null")))},""" +
+      s""""scaling_corun_tput8":${arr(corunLegs.map(_.map(_.tputBig.round.toString).getOrElse("null")))},""" +
+      s""""scaling_corun_aggregates":${arr(corunLegs.map(_.map(_.agg.round.toString).getOrElse("null")))},""" +
+      s""""scaling_corun_leg_eff":${arr(corunLegs.map(_.map(l => f"${l.eff}%.3f").getOrElse("null")))},""" +
+      s""""scaling_corun_window_cpu_sec":${arr(corunLegs.map(_.map(l => f"${l.windowCpu}%.1f").getOrElse("null")))},""" +
       s""""scaling_load_gates":${arr(gates.map(_.toString).toSeq)},""" +
       s""""scaling_protocol":"full disk-to-disk pipeline at two cluster""" +
       s""" sizes (local-cluster, 1 vs 4 forked 2-core executor JVMs), raw""" +
       s""" trials (turbo confound biases efficiency downward; co-run leg""" +
-      s""" is the turbo-free estimate), full-size in-session warm,""" +
-      s""" load-gated fixed interleaved pairs + CPU-time companion; see""" +
+      s""" is the turbo-free estimate, 3 time-paired legs selected by""" +
+      s""" lowest window task-CPU), full-size in-session warm, load-gated""" +
+      s""" fixed interleaved pairs + CPU-time companion; see""" +
       s""" BENCH/BASELINE.md","bench_turns":$benchTurns}"""
     // the stdout line is what the driver captures, but a tmux pane wraps
     // it at pane width and has truncated two rounds' artifacts mid-JSON —

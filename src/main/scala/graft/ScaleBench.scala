@@ -386,6 +386,39 @@ object ScaleBench {
     } else None
   }
 
+  /** One TIME-PAIRED co-run leg: a fresh 4N-cluster trial immediately
+    * followed by the concurrent N-cluster children, so the numerator and
+    * denominator of the hardware-normalized ratio share one noise window.
+    * (Taking tput_4N from the pairs phase and the aggregate minutes later
+    * let host drift between phases enter the ratio directly — measured:
+    * one run's 4N trials all fell ~15% between the pairs phase and the
+    * co-run phase while the children ran clean, turning an engine ratio
+    * into a weather report. This is the main pairs' interleaving principle
+    * applied to this leg.)
+    */
+  private[graft] case class CorunPair(tputBig: Double, agg: Double,
+      childCpuSecMean: Double, bigCpuSec: Double) {
+    def eff: Double = tputBig / agg
+    /** Combined measured task-CPU of the window — the steal diagnosis.
+      * Hypervisor steal inflates guest task-CPU (a stolen vCPU still
+      * accrues thread CPU time), so the leg burning the LEAST total CPU
+      * for identical work ran in the cleanest window. Selecting on this
+      * diagnostic — never on the published ratio — keeps the choice
+      * independent of the metric it publishes.
+      */
+    def windowCpu: Double = bigCpuSec + childCpuSecMean
+  }
+
+  private[graft] def corunPaired(nSmall: Int, nBig: Int, input: String,
+      outRoot: String, turns: Long, width: Int, execsSmall: Option[Int],
+      execsBig: Option[Int], warmInput: Option[String]): Option[CorunPair] = {
+    val big = runOnce(nBig, input, s"$outRoot/big", turns, parity = false,
+      shuffleParts = width, execs = execsBig, warmInput = warmInput)
+    corun(nBig / nSmall, nSmall, input, s"$outRoot/kids", turns,
+      execs = execsSmall).map(leg =>
+      CorunPair(big.tput, leg.aggTput, leg.childCpuSecMean, big.cpuSec))
+  }
+
   /** Ambient ceiling: how well THIS machine scales embarrassingly parallel
     * pure-CPU work from n to m threads (VM neighbors / turbo / scheduler
     * effects cap it well below 1.0 regardless of Spark). Reported alongside
@@ -518,24 +551,26 @@ object ScaleBench {
     val utilBig = byBig.maxBy(_.tput).utilization(nBig)
 
     // hardware-normalized leg: one 4N-cluster job vs (nBig/nSmall)
-    // concurrent N-cluster child JVMs — see corun(). Raw like the main
-    // trials; the children themselves keep the box's task cores as busy
-    // as the 4N trial does, so the turbo confound cancels by construction.
-    // THREE legs, best-of (symmetric with the main trials' best-of): a
+    // concurrent N-cluster child JVMs — see corun()/corunPaired(). Raw
+    // like the main trials; the children themselves keep the box's task
+    // cores as busy as the 4N trial does, so the turbo confound cancels
+    // by construction. THREE TIME-PAIRED legs (each leg measures its own
+    // fresh 4N trial right before the children — see corunPaired); a
     // single leg is hostage to a host-steal window hitting the widest-
     // parallelism section of the whole harness (measured: one window
     // dropped a leg's aggregate 90k vs 196k steady and inflated child
-    // task-CPU 2.4x — the per-leg child CPU below is that diagnosis)
-    val corunAggs: Seq[Option[CorunLeg]] = (1 to 3).map { i =>
+    // task-CPU 2.4x). The reported leg is the one with the LOWEST
+    // combined task-CPU (the steal diagnosis), never the best ratio.
+    val corunLegs: Seq[Option[CorunPair]] = (1 to 3).map { i =>
       awaitQuiet(90000, 2.5)
-      corun(nBig / nSmall, nSmall, s"$root/input", s"$root/co-$i", turns,
-        execs = execsFor(nSmall))
+      corunPaired(nSmall, nBig, s"$root/input", s"$root/co-$i", turns,
+        width, execsFor(nSmall), execsFor(nBig), warmInput)
     }
-    val corunOk = corunAggs.flatten
     // None = a child JVM failed; the leg reports n/a rather than an
     // aggregate silently missing a job's worth of throughput
-    val effCorun: Option[Double] = corunOk.map(_.aggTput).reduceOption(_ max _)
-      .map(best => tputBig / best)
+    val corunBest: Option[CorunPair] =
+      corunLegs.flatten.minByOption(_.windowCpu)
+    val effCorun: Option[Double] = corunBest.map(_.eff)
 
     // saturation probe: the same job at all 32 local threads, to document
     // where the single-VM memory system caps out
@@ -656,15 +691,21 @@ object ScaleBench {
          |
          |**Hardware-normalized co-run efficiency = tput_4N / (aggregate
          |of ${nBig / nSmall} CONCURRENT ${nSmall}-core jobs) =
-         |${effCorun.map(e => f"$e%.3f").getOrElse("n/a (child JVM failed)")}**
-         |(best of ${corunAggs.size} legs; aggregates:
-         |${corunAggs.map(_.map(_.aggTput.round.toString).getOrElse("failed"))
-            .mkString(", ")} turns/s; mean child task-CPU per leg:
-         |${corunAggs.map(_.map(l => f"${l.childCpuSecMean}%.0f s")
-            .getOrElse("failed")).mkString(", ")} — a leg whose children
-         |burn far more task-CPU per turn than the lone N-core trials
-         |(table above) was hit by a hypervisor-steal window, which guest
-         |CPU accounting cannot exclude). Both sides
+         |${effCorun.map(e => f"$e%.3f").getOrElse("n/a (child JVM failed)")}**.
+         |Each of the ${corunLegs.size} legs is TIME-PAIRED — a fresh
+         |${nBig}-core cluster trial immediately followed by its
+         |${nBig / nSmall} concurrent ${nSmall}-core jobs, so numerator and
+         |denominator share one noise window (taking tput_4N from the pairs
+         |phase and the aggregate minutes later let host drift between
+         |phases enter the ratio directly). Per-leg 4N tput / aggregate /
+         |ratio / window task-CPU:
+         |${corunLegs.map(_.map(l => f"${l.tputBig.round} / ${l.agg.round} /" +
+            f" ${l.eff}%.3f / ${l.windowCpu}%.0f s").getOrElse("failed"))
+            .mkString("; ")}.
+         |The reported leg is the one with the LOWEST combined measured
+         |task-CPU — selection on the steal diagnosis (hypervisor steal
+         |inflates guest task-CPU, invisible to in-guest load gates),
+         |never on the published ratio. Both sides
          |put identical aggregate pressure on the box's shared
          |L3/DRAM/clocks — the plain N-vs-4N pair cannot ($nSmall lone
          |threads enjoy the whole cache hierarchy, headroom no real
