@@ -221,9 +221,13 @@ object Bench {
         warmInput = Some(scalePath))
     }
     // a failed child JVM marks the leg null in the JSON (never Infinity /
-    // an aggregate silently missing one job's throughput)
+    // an aggregate silently missing one job's throughput); leg choice =
+    // plausibility filter (eff <= 1.05: children collectively slower than
+    // the one 4N cluster is physically impossible absent degradation, so
+    // dropping too-favorable legs only lowers the number) then lowest
+    // window task-CPU — see ScaleBench.pickCorunLeg
     val effCorun: Option[Double] =
-      corunLegs.flatten.minByOption(_.windowCpu).map(_.eff)
+      ScaleBench.pickCorunLeg(corunLegs.flatten).map(_.eff)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleRoot))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

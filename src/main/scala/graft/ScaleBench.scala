@@ -409,6 +409,24 @@ object ScaleBench {
     def windowCpu: Double = bigCpuSec + childCpuSecMean
   }
 
+  /** Select the reported co-run leg. Two rules, both conservative:
+    * (1) PLAUSIBILITY: (nBig/nSmall) independent N-clusters cannot
+    * collectively run slower than one 4N cluster on the same cores — they
+    * do strictly less coordination (intra-executor shuffle, no cross-JVM
+    * fetch) and only their per-job driver tails (~3-5% of child wall)
+    * subtract — so a leg ratio above ~1.05 is physical proof the children
+    * were degraded mid-leg (measured: a host-steal window produced 1.399);
+    * excluding TOO-FAVORABLE legs can only lower the published number.
+    * (2) Among plausible legs, lowest combined measured task-CPU — the
+    * steal diagnosis — never the best ratio. If no leg is plausible (a
+    * storm hit every leg), fall back to the lowest-CPU leg; the per-leg
+    * record in the artifact carries the diagnosis either way.
+    */
+  private[graft] def pickCorunLeg(legs: Seq[CorunPair]): Option[CorunPair] = {
+    val plausible = legs.filter(_.eff <= 1.05)
+    (if (plausible.nonEmpty) plausible else legs).minByOption(_.windowCpu)
+  }
+
   private[graft] def corunPaired(nSmall: Int, nBig: Int, input: String,
       outRoot: String, turns: Long, width: Int, execsSmall: Option[Int],
       execsBig: Option[Int], warmInput: Option[String]): Option[CorunPair] = {
@@ -568,8 +586,7 @@ object ScaleBench {
     }
     // None = a child JVM failed; the leg reports n/a rather than an
     // aggregate silently missing a job's worth of throughput
-    val corunBest: Option[CorunPair] =
-      corunLegs.flatten.minByOption(_.windowCpu)
+    val corunBest: Option[CorunPair] = pickCorunLeg(corunLegs.flatten)
     val effCorun: Option[Double] = corunBest.map(_.eff)
 
     // saturation probe: the same job at all 32 local threads, to document
@@ -702,10 +719,14 @@ object ScaleBench {
          |${corunLegs.map(_.map(l => f"${l.tputBig.round} / ${l.agg.round} /" +
             f" ${l.eff}%.3f / ${l.windowCpu}%.0f s").getOrElse("failed"))
             .mkString("; ")}.
-         |The reported leg is the one with the LOWEST combined measured
-         |task-CPU — selection on the steal diagnosis (hypervisor steal
-         |inflates guest task-CPU, invisible to in-guest load gates),
-         |never on the published ratio. Both sides
+         |The reported leg passes a PLAUSIBILITY filter (ratio <= 1.05:
+         |${nBig / nSmall} independent ${nSmall}-core clusters cannot
+         |collectively run slower than the one ${nBig}-core cluster, so a
+         |higher ratio is physical proof the children were degraded
+         |mid-leg; dropping too-favorable legs only lowers the number) and
+         |is then the one with the LOWEST combined measured task-CPU — the
+         |steal diagnosis (hypervisor steal inflates guest task-CPU,
+         |invisible to in-guest load gates), never the best ratio. Both sides
          |put identical aggregate pressure on the box's shared
          |L3/DRAM/clocks — the plain N-vs-4N pair cannot ($nSmall lone
          |threads enjoy the whole cache hierarchy, headroom no real
