@@ -110,6 +110,14 @@ object TrainingOps {
   private def stopHits(text: Column): Column =
     size(filter(tokens(text), t => t.isInCollection(Stopwords)))
 
+  /** PII patterns, byte-identical in Java regex and DuckDB RE2 (ASCII
+    * classes, `\b`, bounded repeats only) — queries and [[oracleSql]]
+    * share these literals so redaction parity is by construction.
+    */
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneRe = "\\b555-\\d{4}\\b"
+
   /** Per-doc distinct-shingle ARRAY frame, persisted once per session: the
     * plan is identical across every dedup query, so Spark's CacheManager
     * dedups repeat persist() calls to ONE cache entry (no per-query leak),
@@ -612,6 +620,85 @@ object TrainingOps {
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")
     },
+    // PII redaction: plant deterministic synthetic PII (emails, IPv4s,
+    // phone extensions) into doc_id-keyed subsets — the corpus itself is
+    // digit-free word soup, so every match below is attributable to the
+    // plant — then count each class and redact all three with global
+    // regexp_replace (reference routes hostile/PII-ish fields through the
+    // same enrich surface; the redaction recipe itself is the standard
+    // public curation step). Scale shape: a linear one-pass projection;
+    // literal patterns compile once per task under codegen, so at 100 TB
+    // this is embarrassingly parallel with zero shuffle.
+    "text_pii_redact" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .withColumn("t", planted)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(PiiIpRe), lit(0)))
+            .cast("long").as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>"), PiiPhoneRe, "<PHONE>")
+            .as("redacted"))
+        .orderBy("doc_id")
+    },
+    // Within-document repetition (the Gopher-style repetition filter):
+    // duplicate word-trigram fraction. n_grams counts ALL trigram slots
+    // (tokens - 2); n_distinct reuses the same WordShingles kernel the
+    // dedup family shares, so n_dup is exactly the re-occurrence count.
+    // The 30% flag uses integer math so the oracle never compares floats.
+    // Linear one-pass, no shuffle — at 100 TB this filter runs BEFORE any
+    // dedup join and cheaply drops the pathological self-repetitive docs
+    // that would otherwise fill LSH buckets. The corpus's trigram dupes
+    // are sparse (max 2 at sf0.01), so doc_id % 13 docs get their text
+    // DOUBLED on both sides — planting docs that actually trip the flag.
+    "text_repetition" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val planted = when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+      val nTok = size(tokens(planted)).cast("long")
+      val nGrams = greatest(nTok - 2, lit(0L))
+      val nDistinct = size(shingles(planted)).cast("long")
+      val nDup = nGrams - nDistinct
+      docs(s, dir).select(
+        col("doc_id"), nGrams.as("n_grams"), nDistinct.as("n_distinct"),
+        nDup.as("n_dup"),
+        (nGrams > 0 && nDup * 10 >= nGrams * 3).as("repetitive")
+      ).orderBy("doc_id")
+    },
+    // Domain/source mixture planning: per-source token budgets plus the
+    // deterministic keep-rate (ppm) that equalizes every source's token
+    // contribution at the smallest source's budget — the "data mixing"
+    // step that precedes stratified sampling when balancing web/code/
+    // books-style source skew. Scale shape: one groupBy(source) with
+    // map-side partial aggregation (result is one row per source); the
+    // global min joins back as a broadcast 1-row frame, so nothing ever
+    // funnels through a single partition — fine at 20 sources here and
+    // at 10^3 sources in production.
+    "text_domain_mix" -> { (s, dir) =>
+      val nTok = size(tokens(col("text"))).cast("long")
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+      per.crossJoin(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("min_tokens * 1000000 div n_tokens").cast("long")
+            .as("keep_ppm"))
+        .orderBy("source")
+    },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -855,6 +942,53 @@ object TrainingOps {
                WHEN $stopSql * 20 >= len($tokSql) THEN 'en'
                ELSE 'other' END AS lang_guess
           FROM documents ORDER BY doc_id""",
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+              CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+              CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS BIGINT) AS n_ip,
+            CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS BIGINT) AS n_phone,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '$PiiEmailRe', '<EMAIL>', 'g'),
+              '$PiiIpRe', '<IP>', 'g'),
+              '$PiiPhoneRe', '<PHONE>', 'g') AS redacted
+          FROM p ORDER BY doc_id""",
+    "text_repetition" ->
+      s"""WITH base AS (SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+                 ELSE text END AS text FROM documents),
+          tok AS (SELECT doc_id, $tokSql AS t FROM base),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                 FROM tok),
+          d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+          SELECT tok.doc_id,
+            CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+            CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct,
+            CAST(greatest(len(t) - 2, 0) - coalesce(d.n_distinct, 0)
+              AS BIGINT) AS n_dup,
+            (greatest(len(t) - 2, 0) > 0 AND
+             (greatest(len(t) - 2, 0) - coalesce(d.n_distinct, 0)) * 10 >=
+               greatest(len(t) - 2, 0) * 3) AS repetitive
+          FROM tok LEFT JOIN d ON tok.doc_id = d.doc_id
+          ORDER BY tok.doc_id""",
+    "text_domain_mix" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+               sum(len($tokSql)) AS n_tokens FROM documents GROUP BY source)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(min(n_tokens) OVER () * 1000000 // n_tokens AS BIGINT)
+              AS keep_ppm
+          FROM per ORDER BY source""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM (SELECT doc_id, text FROM documents
