@@ -71,4 +71,17 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(got.values.exists(_._3 == 1000000L), "smallest source keeps 100%")
   }
+
+  test("pii/repetition projections stay in whole-stage codegen") {
+    // the regex and WordShingles trees must not drag the linear curation
+    // passes out of WSCG (the CodegenFallback hazard class). Execute
+    // first: under AQE the pre-execution plan prints un-fused
+    // (isFinalPlan=false), so only the final plan evidences codegen.
+    Seq("text_pii_redact", "text_repetition").foreach { name =>
+      val df = graft.ops.TrainingOps.queries(name)(spark, sf("0.001"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$name: no WholeStageCodegen span in:\n$plan")
+    }
+  }
 }
