@@ -395,29 +395,10 @@ object TrainingOps {
   def dedupNgram(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val dsh = docShingles(s, dir)
     val sh0 = explodedIndex(dsh)
-    // The stop-shingle table is TINY by construction (<= occurrences/cap
-    // rows), but deriving it costs a full groupBy pass over the exploded
-    // index — persist it so the pass runs ONCE (the lazy plan re-ran it
-    // for the left_anti cap AND the correction join, the r3 regression),
-    // and probe emptiness so the whole correction subtree drops out of
-    // the plan when the cap never binds (the common case below ~10^8
-    // docs; DedupSpec pins the binding-cap branch with a tiny cap).
-    def stopShingles() = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the emptiness probe is one aggregation job; memoize it per
-    // (dir, cap) so repeated builder calls in one session (dedup_ngram +
-    // dedup_clusters per suite pass) pay it once — testdata dirs are
-    // immutable within a run, which is what makes the memo sound
-    val capBinds = capBindsMemo.getOrElseUpdate((dir, cap), {
-      val hot = stopShingles()
-      val binds = !hot.isEmpty
-      if (!binds) hot.unpersist()
-      binds
-    })
+    val (capBinds, hotF) = stopShingleGate(s, dir, cap)
     // when the cap binds, the persisted frame is recovered by CacheManager
     // plan-dedup (identical logical plan -> same cache entry)
-    lazy val hot = stopShingles()
+    lazy val hot = hotF()
     val capped = if (capBinds) sh0.join(hot, Seq("s"), "left_anti") else sh0
     // ONE pass: the capped self-join directly yields per-pair
     // intersection counts (no candidate materialization + re-join)
@@ -450,6 +431,79 @@ object TrainingOps {
 
   private val capBindsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  /** Stop-shingle gate shared by the n-gram dedup family. The stop-shingle
+    * table is TINY by construction (<= occurrences/cap rows), but deriving
+    * it costs a full groupBy pass over the exploded index — it is persisted
+    * so the pass runs ONCE (the lazy plan re-ran it for the left_anti cap
+    * AND the correction join, the r3 regression), and emptiness is probed
+    * so the whole correction subtree drops out of the plan when the cap
+    * never binds (the common case below ~10^8 docs; DedupSpec pins the
+    * binding-cap branch with a tiny cap). The probe is one aggregation
+    * job, memoized per (dir, cap) so every builder in a session pays it
+    * once — testdata dirs are immutable within a run, which is what makes
+    * the memo sound. Returns (capBinds, () => hot): call the thunk only
+    * when capBinds — CacheManager plan-dedup recovers the one persisted
+    * frame, and releaseCaches drops it by reconstructing the same plan.
+    */
+  private def stopShingleGate(s: SparkSession, dir: String, cap: Int)
+      : (Boolean, () => DataFrame) = {
+    val sh0 = explodedIndex(docShingles(s, dir))
+    def stopShingles() = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capBinds = capBindsMemo.getOrElseUpdate((dir, cap), {
+      val hot = stopShingles()
+      val binds = !hot.isEmpty
+      if (!binds) hot.unpersist()
+      binds
+    })
+    (capBinds, () => stopShingles())
+  }
+
+  /** Incremental dedup: near-dup-join a NEW batch of docs (doc_id % 10
+    * == 7, the arriving-shard stand-in) against the EXISTING corpus (the
+    * rest) — the query a deployed engine runs when a shard lands, and the
+    * reason it never recomputes corpus-side pairs: candidates come from an
+    * asymmetric equi-join of batch shingles against the corpus-side
+    * inverted index (at 100 TB that index is the persisted build artifact;
+    * here both sides derive from the shared session shingle cache), so the
+    * work is O(batch x bucket), not O(corpus^2). Shares dedupNgram's
+    * stop-shingle cap + exact-count correction joins, so the result is
+    * EXACT Jaccard at J >= 0.9 with the same documented all-hot recall
+    * exception. Output: (ia=corpus doc, ib=batch doc, common, n_union).
+    */
+  def dedupIncremental(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    val dsh = docShingles(s, dir)
+    val sh0 = explodedIndex(dsh)
+    val isBatch = col("doc_id") % 10 === 7
+    val (capBinds, hotF) = stopShingleGate(s, dir, cap)
+    lazy val hot = hotF()
+    val capped = if (capBinds) sh0.join(hot, Seq("s"), "left_anti") else sh0
+    val common0 = capped.filter(!isBatch).select(col("doc_id").as("ia"), col("s"))
+      .join(capped.filter(isBatch).select(col("doc_id").as("ib"), col("s")),
+        Seq("s"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
+    val withCommon = if (capBinds) {
+      val hotSh = sh0.join(hot, Seq("s"))
+      val hotCommon = common0.select("ia", "ib")
+        .join(hotSh.filter(!isBatch).select(col("doc_id").as("ia"), col("s")),
+          "ia")
+        .join(hotSh.filter(isBatch).select(col("doc_id").as("ib"), col("s")),
+          Seq("ib", "s"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
+        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+    } else common0.withColumn("common", col("common0"))
+    val counts = shingleCounts(dsh)
+    withCommon
+      .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
+      .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
+      .withColumn("n_union", col("ca") + col("cb") - col("common"))
+      .filter(col("common") * 10 >= col("n_union") * 9)
+      .select(col("ia"), col("ib"), col("common"), col("n_union"))
+      .orderBy("ia", "ib")
+  }
 
   /** Connected components over an (ia, ib) pair frame by min-label
     * propagation to FIXPOINT: every vertex ends labeled with the smallest
@@ -709,6 +763,8 @@ object TrainingOps {
         .orderBy("keep_id")
     },
     "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir, ShingleFreqCap) },
+    "dedup_incremental" -> { (s, dir) =>
+      dedupIncremental(s, dir, ShingleFreqCap) },
     "dedup_clusters" -> { (s, dir) => dedupClusters(s, dir) },
     // the full curation funnel AS ONE DECLARATIVE PLAN — what the
     // training-data ops exist for: quality-filter (drop junk), hold out
@@ -1029,6 +1085,21 @@ object TrainingOps {
           FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
           WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "dedup_ngram" -> jaccardPairsSql,
+    "dedup_incremental" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                 FROM tok),
+          cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+          pair AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS common
+                   FROM sh a JOIN sh b ON a.s = b.s
+                     AND a.doc_id % 10 != 7 AND b.doc_id % 10 = 7
+                   GROUP BY 1, 2)
+          SELECT ia, ib, common, ca.c + cb.c - common AS n_union
+          FROM pair JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+          WHERE common * 10 >= (ca.c + cb.c - common) * 9
+          ORDER BY ia, ib""",
     // connected components over the same exact pair set: min reachable
     // doc_id per vertex via a recursive CTE (UNION dedups, so the
     // recursion reaches the transitive closure and terminates)

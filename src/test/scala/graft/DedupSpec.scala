@@ -22,6 +22,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs(5) === uncapped)
   }
 
+  private def incPairs(cap: Int) =
+    graft.ops.TrainingOps.dedupIncremental(spark, sf("0.001"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("incremental dedup: equals the full pair set restricted to cross-class") {
+    val inc = incPairs(1000000)
+    assert(inc.nonEmpty, "fixture should contain batch-vs-corpus near-dups")
+    // the asymmetric join must find exactly the full-corpus pairs with one
+    // endpoint in the batch class, reoriented to (corpus, batch)
+    val want = pairs(1000000)
+      .filter(p => (p._1 % 10 == 7) != (p._2 % 10 == 7))
+      .map(p => if (p._2 % 10 == 7) p else (p._2, p._1, p._3, p._4))
+      .sortBy(p => (p._1, p._2))
+    assert(inc === want)
+    inc.foreach { case (ia, ib, _, _) =>
+      assert(ia % 10 != 7 && ib % 10 == 7, s"orientation of ($ia,$ib)")
+    }
+  }
+
+  test("incremental dedup cap correction: binding cap stays exact") {
+    assert(incPairs(5) === incPairs(1000000))
+  }
+
   test("connected components: chains, stars, cycles, singleton pairs") {
     import spark.implicits._
     // chain 1-2-3-4, star 20<-(21,22,23), cycle 30-31-32-30, lone pair
