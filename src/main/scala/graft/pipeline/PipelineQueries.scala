@@ -380,6 +380,20 @@ object PipelineQueries {
         .agg(max(col("turns")).as("turns"),
           max(col("max_turn")).cast("long").as("max_turn"))
         .orderBy("conv_id")
+    },
+    // exactly-once from at-least-once: the staged input re-delivers every
+    // 5th row in a planted repeat file; streaming dropDuplicates on the
+    // event key must restore the exact un-duplicated per-sink counts
+    // (oracle = the plain 1/10-subset counts, no duplicates visible)
+    "pipe_stream_dedup" -> { (s, dir) =>
+      reg(s)
+      val name = s"stream_dedup_${streamQueryN.incrementAndGet()}"
+      val mem = graft.streaming.StreamingPipeline
+        .runDedupOnce(s, stagedDedupInput(s, dir), e2eConfig, name)
+      mem.groupBy("sink")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("conv_id")).as("n_conv"))
+        .orderBy("sink")
     }
   )
 
@@ -404,6 +418,26 @@ object PipelineQueries {
       Transcripts.transcripts(s, dir)
         .filter(pmod(col("turn_idx"), lit(10)) === 0).coalesce(16)
         .write.mode("overwrite").parquet(tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
+      tmp
+    })
+
+  /** At-least-once staging for the streaming dedup gate: the staged 1/10
+    * subset (read back off tmpfs, not re-derived) PLUS a planted
+    * "redelivered" file repeating every 5th staged row — the file-source
+    * analogue of a source re-sending events after an un-acked write. The
+    * dedup gate must restore exactly the un-duplicated counts.
+    */
+  private val stagedDedupStreams = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDedupInput(s: SparkSession, dir: String): String =
+    stagedDedupStreams.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_stream_dup").toString
+      val base = s.read.parquet(stagedStreamInput(s, dir))
+      base.coalesce(16).write.mode("overwrite").parquet(tmp)
+      base.filter(pmod(col("turn_idx"), lit(50)) === 0).coalesce(1)
+        .write.mode("append").parquet(tmp)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
       tmp
@@ -588,6 +622,11 @@ object PipelineQueries {
          CAST(max(event_id) AS BIGINT) AS max_turn
          FROM events WHERE event_id % 10 = 0
          GROUP BY 1 ORDER BY conv_id""",
+    "pipe_stream_dedup" ->
+      s"""SELECT sink, count(*) AS n, count(DISTINCT conv) AS n_conv
+          FROM (SELECT $sinkSql AS sink, user_id AS conv FROM events
+                WHERE event_id % 10 = 0)
+          GROUP BY sink ORDER BY sink""",
     // every hostile odd row must surface in quarantine as malformed (and
     // be COUNTED); every even mini row routes to the default sink — total
     // row conservation is the warn+drop+count pin

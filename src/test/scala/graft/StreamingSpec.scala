@@ -65,4 +65,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === expected)
   }
+
+  test("streaming dropDuplicates restores exactly-once from re-delivered input") {
+    val root = Files.createTempDirectory("graft_dedup").toString
+    val in = s"$root/input"
+    val base = TranscriptGen.transcripts(spark, N)
+    base.coalesce(4).write.parquet(in)
+    // plant an at-least-once re-delivery: every 5th row arrives again
+    val dup = base.filter(pmod(col("turn_idx"), lit(5)) === 0)
+    dup.coalesce(1).write.mode("append").parquet(in)
+    val nDup = dup.count()
+    assert(nDup > 0, "fixture must actually re-deliver rows")
+    val cfg = PipelineConfig.default(in, "", Transcripts.RunTsMillis)
+
+    val deduped = StreamingPipeline
+      .runDedupOnce(spark, in, cfg, "stream_dedup_spec")
+    // input carries the duplicates; the deduped stream must not
+    assert(spark.read.parquet(in).count() === N + nDup)
+    assert(deduped.count() === N)
+    // and the per-sink counts must equal the duplicate-free batch transform
+    val got = deduped.groupBy("sink").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Pipeline
+      .transform(base, cfg, graft.enrich.Enrich.defaultLookup(spark))
+      .groupBy("sink").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
 }
