@@ -228,6 +228,38 @@ object GenericQueries {
           (abs(col("n_approx") - col("n_exact")) * 20 <= col("n_exact"))
             .as("approx_within_5pct"))
         .orderBy("l_returnflag")
+    },
+    // per-group percentiles, both forms a 100-TB engine needs: EXACT
+    // discrete quantiles by rank selection (the value at ceil(p*n) —
+    // integer position math; the selected value is a STORED double, so
+    // both engines return it bit-identically, no float arithmetic), and
+    // the production sketch (percentile_approx's partial-mergeable
+    // KLL/GK-style digest), oracle-checked as a within-2% flag since the
+    // engines' sketches differ. Scale shape: rank selection shuffles once
+    // on the group key and sorts within groups — right when groups are
+    // many and modest; for global/few-group quantiles over 10^11 rows the
+    // mergeable sketch IS the plan (one pass, no sort).
+    "q_percentiles" -> { (s, dir) =>
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wAll = Window.partitionBy("l_returnflag")
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"),
+            col("l_quantity"))).as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"),
+            col("l_quantity"))).as("p90"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"),
+            col("l_quantity"))).as("p99"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
+        .select(col("l_returnflag"), col("n"), col("p50"), col("p90"),
+          col("p99"),
+          (abs(col("a90") - col("p90")) * 50 <= col("p90"))
+            .as("approx_within_2pct"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -346,6 +378,22 @@ object GenericQueries {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
          abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 20
            <= count(DISTINCT l_orderkey) AS approx_within_5pct
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         e AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS p50,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90,
+             max(CASE WHEN rn = (99 * n + 99) // 100 THEN l_quantity END) AS p99
+           FROM r GROUP BY 1),
+         a AS (SELECT l_returnflag, approx_quantile(l_quantity, 0.9) AS a90
+               FROM lineitem GROUP BY 1)
+         SELECT e.l_returnflag, e.n, e.p50, e.p90, e.p99,
+           (abs(a.a90 - e.p90) * 50 <= e.p90) AS approx_within_2pct
+         FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag"""
   )
 }
