@@ -234,8 +234,11 @@ object GenericQueries {
     // integer position math; the selected value is a STORED double, so
     // both engines return it bit-identically, no float arithmetic), and
     // the production sketch (percentile_approx's partial-mergeable
-    // KLL/GK-style digest), oracle-checked as a within-2% flag since the
-    // engines' sketches differ. Scale shape: rank selection shuffles once
+    // KLL/GK-style digest), oracle-checked as a within-2-quantity-units
+    // flag since the engines' sketches differ — the bound must exceed the
+    // domain's value resolution (l_quantity steps by 1, so a relative 2%
+    // band at p90=45 is SUB-step and a one-rank sketch wobble would flip
+    // the flag between engines/runs). Scale shape: rank selection shuffles once
     // on the group key and sorts within groups — right when groups are
     // many and modest; for global/few-group quantiles over 10^11 rows the
     // mergeable sketch IS the plan (one pass, no sort).
@@ -257,8 +260,8 @@ object GenericQueries {
           percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
         .select(col("l_returnflag"), col("n"), col("p50"), col("p90"),
           col("p99"),
-          (abs(col("a90") - col("p90")) * 50 <= col("p90"))
-            .as("approx_within_2pct"))
+          (abs(col("a90") - col("p90")) <= lit(2.0d))
+            .as("approx_within_2units"))
         .orderBy("l_returnflag")
     }
   )
@@ -393,7 +396,7 @@ object GenericQueries {
          a AS (SELECT l_returnflag, approx_quantile(l_quantity, 0.9) AS a90
                FROM lineitem GROUP BY 1)
          SELECT e.l_returnflag, e.n, e.p50, e.p90, e.p99,
-           (abs(a.a90 - e.p90) * 50 <= e.p90) AS approx_within_2pct
+           (abs(a.a90 - e.p90) <= 2.0) AS approx_within_2units
          FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag"""
   )
 }

@@ -406,23 +406,10 @@ object TrainingOps {
       .join(capped.select(col("doc_id").as("ib"), col("s")), Seq("s"))
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
-    val withCommon = if (capBinds) {
-      val hotSh = sh0.join(hot, Seq("s"))
-      val hotCommon = common0.select("ia", "ib")
-        .join(hotSh.select(col("doc_id").as("ia"), col("s")), "ia")
-        .join(hotSh.select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
-      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
-        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
-    } else common0.withColumn("common", col("common0"))
-    val counts = shingleCounts(dsh)
-    withCommon
-      .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
-      .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
-      .withColumn("n_union", col("ca") + col("cb") - col("common"))
-      .filter(col("common") * 10 >= col("n_union") * 9)
-      .select(col("ia"), col("ib"), col("common"), col("n_union"))
-      .orderBy("ia", "ib")
+    val withCommon = if (capBinds)
+      hotCorrected(common0, sh0.join(hot, Seq("s")), identity, identity)
+    else common0.withColumn("common", col("common0"))
+    jaccardThresholdTail(withCommon, shingleCounts(dsh))
       // the verified pair set is tiny (dup pairs only) and consumed by
       // BOTH dedup_ngram and dedup_clusters in a suite pass — one cache
       // entry via plan-dedup; released with the shingle cache
@@ -484,18 +471,37 @@ object TrainingOps {
       .join(capped.filter(isBatch).select(col("doc_id").as("ib"), col("s")),
         Seq("s"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("common0"))
-    val withCommon = if (capBinds) {
-      val hotSh = sh0.join(hot, Seq("s"))
-      val hotCommon = common0.select("ia", "ib")
-        .join(hotSh.filter(!isBatch).select(col("doc_id").as("ia"), col("s")),
-          "ia")
-        .join(hotSh.filter(isBatch).select(col("doc_id").as("ib"), col("s")),
-          Seq("ib", "s"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
-      common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
-        .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
-    } else common0.withColumn("common", col("common0"))
-    val counts = shingleCounts(dsh)
+    val withCommon = if (capBinds)
+      hotCorrected(common0, sh0.join(hot, Seq("s")),
+        _.filter(!isBatch), _.filter(isBatch))
+    else common0.withColumn("common", col("common0"))
+    jaccardThresholdTail(withCommon, shingleCounts(dsh))
+  }
+
+  /** Exact-count correction for a capped candidate set: re-count ONLY the
+    * already-candidate pairs' hot-shingle intersections and add them back,
+    * so the final `common` is exact despite candidate generation dropping
+    * stop-shingles (the r3-regression-class logic, now in ONE place for
+    * both the symmetric and the incremental builders). `aSide`/`bSide`
+    * restrict the hot-shingle frame to each pair side's doc class
+    * (identity for the symmetric self-join).
+    */
+  private def hotCorrected(common0: DataFrame, hotSh: DataFrame,
+      aSide: DataFrame => DataFrame, bSide: DataFrame => DataFrame): DataFrame = {
+    val hotCommon = common0.select("ia", "ib")
+      .join(aSide(hotSh).select(col("doc_id").as("ia"), col("s")), "ia")
+      .join(bSide(hotSh).select(col("doc_id").as("ib"), col("s")), Seq("ib", "s"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("hcommon"))
+    common0.join(hotCommon, Seq("ia", "ib"), "left_outer")
+      .withColumn("common", col("common0") + coalesce(col("hcommon"), lit(0L)))
+  }
+
+  /** Shared J >= 0.9 integer-threshold tail: attach per-doc shingle counts,
+    * derive the union size, filter, and emit the canonical sorted pair
+    * columns. One implementation for every exact-Jaccard builder.
+    */
+  private def jaccardThresholdTail(withCommon: DataFrame,
+      counts: DataFrame): DataFrame =
     withCommon
       .join(counts.select(col("doc_id").as("ia"), col("c").as("ca")), "ia")
       .join(counts.select(col("doc_id").as("ib"), col("c").as("cb")), "ib")
@@ -503,7 +509,6 @@ object TrainingOps {
       .filter(col("common") * 10 >= col("n_union") * 9)
       .select(col("ia"), col("ib"), col("common"), col("n_union"))
       .orderBy("ia", "ib")
-  }
 
   /** Connected components over an (ia, ib) pair frame by min-label
     * propagation to FIXPOINT: every vertex ends labeled with the smallest
@@ -738,16 +743,20 @@ object TrainingOps {
     // deterministic keep-rate (ppm) that equalizes every source's token
     // contribution at the smallest source's budget — the "data mixing"
     // step that precedes stratified sampling when balancing web/code/
-    // books-style source skew. Scale shape: one groupBy(source) with
-    // map-side partial aggregation (result is one row per source); the
-    // global min joins back as a broadcast 1-row frame, so nothing ever
-    // funnels through a single partition — fine at 20 sources here and
-    // at 10^3 sources in production.
+    // books-style source skew. Scale shape: ONE corpus pass — a
+    // groupBy(source) with map-side partial aggregation — then the global
+    // min via an empty-partition window over the AGGREGATED frame, which
+    // holds one row per source (20 here, 10^3 in production): the
+    // single-partition stage touches O(sources) metadata rows, never the
+    // corpus (same O-bound as ivfLloyd's centroid ranking). Joining the
+    // min back as a broadcast 1-row frame instead would re-evaluate the
+    // un-persisted aggregate subtree and scan+tokenize documents TWICE.
     "text_domain_mix" -> { (s, dir) =>
       val nTok = size(tokens(col("text"))).cast("long")
       val per = docs(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
-      per.crossJoin(broadcast(per.agg(min(col("n_tokens")).as("min_tokens"))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      per.withColumn("min_tokens", min(col("n_tokens")).over(w))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           expr("min_tokens * 1000000 div n_tokens").cast("long")
             .as("keep_ppm"))

@@ -436,8 +436,12 @@ object PipelineQueries {
         java.nio.file.Paths.get("/dev/shm"), "graft_stream_dup").toString
       val base = s.read.parquet(stagedStreamInput(s, dir))
       base.coalesce(16).write.mode("overwrite").parquet(tmp)
-      base.filter(pmod(col("turn_idx"), lit(50)) === 0).coalesce(1)
-        .write.mode("append").parquet(tmp)
+      val dup = base.filter(pmod(col("turn_idx"), lit(50)) === 0)
+      dup.coalesce(1).write.mode("append").parquet(tmp)
+      // a fixture drift that empties the plant would turn the dedup gate
+      // into a vacuous pass — fail staging loudly instead
+      require(dup.count() > 0,
+        s"stream-dedup staging planted no re-delivered rows for $dir")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
       tmp

@@ -80,8 +80,17 @@ class TextOpsSpec extends SparkSpec {
     Seq("text_pii_redact", "text_repetition").foreach { name =>
       val df = graft.ops.TrainingOps.queries(name)(spark, sf("0.001"))
       df.collect()
+      // the AQE toString appends the (always un-starred) Initial Plan —
+      // judge only the Final Plan section
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("*("), s"$name: no WholeStageCodegen span in:\n$plan")
+        .split("== Initial Plan ==").head
+      // the PROJECT itself must be starred — a bare "+- Project [" would
+      // mean the curation projection fell out of codegen even though
+      // other spans (ColumnarToRow, Sort) still print "*("
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).nonEmpty,
+        s"$name: projection not in a WholeStageCodegen span:\n$plan")
+      assert(!plan.contains("+- Project ["),
+        s"$name: an un-fused Project survives in:\n$plan")
     }
   }
 }
