@@ -229,6 +229,29 @@ object GenericQueries {
             .as("approx_within_5pct"))
         .orderBy("l_returnflag")
     },
+    // time-series gap-fill (resample): dashboards need a row for EVERY
+    // hour in the observed range, zero-filled where no events landed —
+    // generator (sequence + explode over the 1-row bounds aggregate) left
+    // outer joined by the hourly aggregate. Scale shape: the corpus pass
+    // is the groupBy; the generated axis and the joined aggregate are both
+    // calendar-bounded (decades of hours ~ 10^5 rows), so the outer join
+    // is metadata-sized at any corpus scale. The sf0.01 fixture has 42
+    // genuinely empty hours for the error class, so the zero-fill branch
+    // is exercised, not vacuous.
+    "q_gapfill" -> { (s, dir) =>
+      val err = t(s, dir, "events").filter(col("event_type") === "error")
+      val hourly = err.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_raw"))
+      val hours = err
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      hours.join(hourly, Seq("h"), "left_outer")
+        .select(col("h"), coalesce(col("n_raw"), lit(0L)).as("n"),
+          col("n_raw").isNull.as("gap"))
+        .orderBy("h")
+    },
     // per-group percentiles, both forms a 100-TB engine needs: EXACT
     // discrete quantiles by rank selection (the value at ceil(p*n) —
     // integer position math; the selected value is a STORED double, so
@@ -382,6 +405,17 @@ object GenericQueries {
          abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) * 20
            <= count(DISTINCT l_orderkey) AS approx_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_gapfill" ->
+      """WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         agg AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_raw
+                 FROM err GROUP BY 1),
+         hours AS (SELECT unnest(generate_series(
+             date_trunc('hour', (SELECT min(ts) FROM err)),
+             date_trunc('hour', (SELECT max(ts) FROM err)),
+             INTERVAL 1 HOUR)) AS h)
+         SELECT h, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
+           (n_raw IS NULL) AS gap
+         FROM hours LEFT JOIN agg USING (h) ORDER BY h""",
     "q_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag
