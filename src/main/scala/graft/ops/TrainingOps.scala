@@ -612,6 +612,30 @@ object TrainingOps {
           .otherwise("other").as("lang_guess")
       ).orderBy("doc_id")
     },
+    // keyword extraction: per-doc top-5 terms by TF-IDF with a linear
+    // (rational) idf — rank key tf/df is ONE IEEE division of two small
+    // ints, bit-identical across engines (distinct rationals here differ
+    // by >= 1/(maxTf*maxDf) >> ulp), so the rank-selected rows hash-match
+    // without ever emitting a float. Scale shape: explode is linear; the
+    // (doc,term) and (term) aggregates are partial-agg shuffles (hot
+    // common terms are a count, not a materialized list); tf<-df is a
+    // shuffle equi-join on term with NO broadcast hint (the vocabulary is
+    // O(distinct terms) — not driver-safe at 10^11 docs; AQE broadcasts
+    // when genuinely small); the top-k window partitions by doc_id.
+    "text_keywords" -> { (s, dir) =>
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 3 && col("term").rlike("^[a-z]+$"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+      tf.join(dfq, Seq("term"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
+    },
     "text_fingerprint" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       docs(s, dir).select(
@@ -1007,6 +1031,26 @@ object TrainingOps {
                WHEN $stopSql * 20 >= len($tokSql) THEN 'en'
                ELSE 'other' END AS lang_guess
           FROM documents ORDER BY doc_id""",
+    "text_keywords" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($tokSql) AS term FROM documents
+          ), f AS (
+            SELECT doc_id, term FROM toks
+            WHERE length(term) >= 3 AND regexp_full_match(term, '[a-z]+')
+          ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM f GROUP BY doc_id, term
+          ), dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+          ), r AS (
+            SELECT doc_id, term, tf.tf, dfq.df,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, term) AS INT)
+                AS rnk
+            FROM tf JOIN dfq USING (term)
+          )
+          SELECT doc_id, rnk, term, tf, df FROM r
+          WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     "text_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
