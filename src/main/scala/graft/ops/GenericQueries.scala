@@ -252,6 +252,20 @@ object GenericQueries {
           col("n_raw").isNull.as("gap"))
         .orderBy("h")
     },
+    // fixed-width histogram (data profiling's other half next to
+    // percentiles): bin = floor(value / width) — ONE exact-rounded IEEE
+    // division + floor, bit-identical across engines; per-bin count and
+    // an integer-valued floor-sum (doubles holding ints < 2^53 sum
+    // exactly, the q_agg_pricing convention). One partial-agg shuffle on
+    // O(bins) keys — the one-pass profile plan at 10^11 rows; empty bins
+    // stay absent (join q_gapfill's generated axis when density matters).
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice"))).cast("long").as("sum_floor"))
+        .orderBy("bin")
+    },
     // per-group percentiles, both forms a 100-TB engine needs: EXACT
     // discrete quantiles by rank selection (the value at ceil(p*n) —
     // integer position math; the selected value is a STORED double, so
@@ -416,6 +430,11 @@ object GenericQueries {
          SELECT h, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
            (n_raw IS NULL) AS gap
          FROM hours LEFT JOIN agg USING (h) ORDER BY h""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_floor
+         FROM orders GROUP BY bin ORDER BY bin""",
     "q_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag
