@@ -636,6 +636,35 @@ object TrainingOps {
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
         .orderBy("doc_id", "rnk")
     },
+    // training-window chunking: split each doc's token stream into
+    // stride-overlapped windows (win=64, stride=48 — the canonical
+    // long-doc -> context-window preprocessing step). Convention: a chunk
+    // starts at every stride multiple < n_tokens and the tail chunk is
+    // short (len = min(win, n - start)); indices are pure integer math so
+    // both engines enumerate identical windows. Scale shape: one linear
+    // pass — sequence+explode is per-row generation (no shuffle at all
+    // until the final presentation sort), and chunk COUNT per doc is
+    // n/stride, so output is O(corpus tokens / stride) rows with no skew
+    // beyond doc length itself.
+    "text_chunk" -> { (s, dir) =>
+      val win = 64
+      val stride = 48
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .withColumn("n", size(col("tok")).cast("long"))
+        .filter(col("n") > 0)
+      d.select(col("doc_id"), col("tok"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong)))
+            .as("start"))
+        .withColumn("len", least(lit(win.toLong), col("n") - col("start")))
+        .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_idx"),
+          col("start"), col("len"),
+          try_element_at(col("tok"), (col("start") + 1).cast("int"))
+            .as("first_tok"),
+          try_element_at(col("tok"), (col("start") + col("len")).cast("int"))
+            .as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     "text_fingerprint" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
       docs(s, dir).select(
@@ -1051,6 +1080,20 @@ object TrainingOps {
           )
           SELECT doc_id, rnk, term, tf, df FROM r
           WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+    "text_chunk" ->
+      s"""WITH d AS (
+            SELECT doc_id, $tokSql AS tok, CAST(len($tokSql) AS BIGINT) AS n
+            FROM documents WHERE len($tokSql) > 0
+          ), st AS (
+            SELECT doc_id, tok, n, unnest(range(0, n, 48)) AS start FROM d
+          )
+          SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+            CAST(start AS BIGINT) AS start,
+            CAST(least(64, n - start) AS BIGINT) AS len,
+            list_extract(tok, CAST(start + 1 AS INT)) AS first_tok,
+            list_extract(tok, CAST(start + least(64, n - start) AS INT))
+              AS last_tok
+          FROM st ORDER BY doc_id, chunk_idx""",
     "text_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
