@@ -622,6 +622,12 @@ object TrainingOps {
     // shuffle equi-join on term with NO broadcast hint (the vocabulary is
     // O(distinct terms) — not driver-safe at 10^11 docs; AQE broadcasts
     // when genuinely small); the top-k window partitions by doc_id.
+    // df deliberately comes from a partial-agg groupBy, NOT a window over
+    // term — a count() window by term would put every row of a hot term
+    // ("the": O(corpus)) in ONE task, while the groupBy map-side-combines
+    // it away. Cost: the unpersisted tf subtree is referenced by both
+    // join sides, so the source is scanned twice (visible in PLANS.md);
+    // at 10^11 docs persist tf exactly like the dedup signature frames.
     "text_keywords" -> { (s, dir) =>
       val terms = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -664,6 +670,30 @@ object TrainingOps {
           try_element_at(col("tok"), (col("start") + col("len")).cast("int"))
             .as("last_tok"))
         .orderBy("doc_id", "chunk_idx")
+    },
+    // int8 embedding quantization (the serving-side compression step a
+    // 100-TB similarity index runs before shipping vectors): symmetric
+    // per-vector scale = max|v|, q_i = floor(v_i/scale * 127) — every
+    // float step is a stored float widened to double then ONE division
+    // and ONE multiplication, expressed identically in both engines, so
+    // the integer codes (and their summarized stats) hash-match. Plan
+    // shape: explode -> window max over vec_id -> aggregate; the window's
+    // hash partitioning on vec_id is REUSED by the groupBy (one Exchange
+    // total), and nothing here is O(dims^2) or driver-side. Emits per-
+    // vector stats (dims, sum/min/max of codes) rather than the 64-long
+    // code list purely to keep the oracle frame small.
+    "embed_quantize" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), explode(col("embedding")).as("v0"))
+        .withColumn("v", col("v0").cast("double"))
+        .withColumn("scale", max(abs(col("v"))).over(w))
+        .withColumn("q", when(col("scale") === 0d, lit(0L))
+          .otherwise(floor(col("v") / col("scale") * 127)))
+        .groupBy(col("vec_id"), col("scale"))
+        .agg(count(lit(1)).as("dims"), sum(col("q")).as("sum_q"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy("vec_id")
     },
     "text_fingerprint" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -1094,6 +1124,22 @@ object TrainingOps {
             list_extract(tok, CAST(start + least(64, n - start) AS INT))
               AS last_tok
           FROM st ORDER BY doc_id, chunk_idx""",
+    "embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings
+         ), st AS (
+           SELECT vec_id, max(abs(v)) AS scale FROM e GROUP BY vec_id
+         ), q AS (
+           SELECT e.vec_id, st.scale,
+             CASE WHEN st.scale = 0 THEN 0
+                  ELSE CAST(floor(v / st.scale * 127) AS BIGINT) END AS q
+           FROM e JOIN st USING (vec_id)
+         )
+         SELECT vec_id, scale, CAST(count(*) AS BIGINT) AS dims,
+           CAST(sum(q) AS BIGINT) AS sum_q, CAST(min(q) AS BIGINT) AS min_q,
+           CAST(max(q) AS BIGINT) AS max_q
+         FROM q GROUP BY vec_id, scale ORDER BY vec_id""",
     "text_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
