@@ -206,6 +206,32 @@ object GenericQueries {
         .select(col("user_id"), col("event_id"), col("prev_click_id"))
         .orderBy("user_id", "event_id")
     },
+    // range (interval containment) join — the operator Spark itself has
+    // no native plan for: a raw `e.ts BETWEEN w.start AND w.end` join
+    // plans as BroadcastNestedLoopJoin, O(windows x events). The scalable
+    // rewrite BUCKETS each interval into the hour grid it covers
+    // (explode: O(span/bucket) keys per window), equi-joins events on
+    // their single hour bucket, then applies the exact bound filter —
+    // shuffle-partitioned on the bucket key like any equi-join, no
+    // nested loop anywhere. An event matches a window via exactly one
+    // bucket (its own hour), so no post-join dedup is needed. Skew per
+    // bucket is bounded by windows-overlapping-that-hour, not corpus
+    // size. Windows: one 3 h window per event_id % 397 == 0 trigger.
+    "q_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val win = ev.filter(col("event_id") % 397 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("w_end"))
+      val winB = win.select(col("window_id"), col("w_start"), col("w_end"),
+        explode(sequence(date_trunc("hour", col("w_start")),
+          date_trunc("hour", col("w_end")), expr("INTERVAL 1 HOUR")))
+          .as("hb"))
+      val evB = ev.select(col("ts"), date_trunc("hour", col("ts")).as("hb"))
+      winB.join(evB, Seq("hb"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy("window_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("window_id")
+    },
     // deterministic content-hash train/val split (every training pipeline
     // needs one that is reproducible across engines and runs): md5 of the
     // text, first hex digit < 'c' => train (~75%)
@@ -430,6 +456,14 @@ object GenericQueries {
          SELECT h, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
            (n_raw IS NULL) AS gap
          FROM hours LEFT JOIN agg USING (h) ORDER BY h""",
+    "q_range_join" ->
+      """WITH w AS (
+           SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 3 HOUR AS w_end
+           FROM events WHERE event_id % 397 = 0)
+         SELECT window_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+         GROUP BY window_id ORDER BY window_id""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
          CAST(count(*) AS BIGINT) AS n,
