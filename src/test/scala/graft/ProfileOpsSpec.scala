@@ -1,0 +1,116 @@
+package graft
+
+/** Pins the round-5 profiling/structuring additions (TF-IDF keywords,
+  * fixed-width histogram, training-window chunking, int8 embedding
+  * quantization, bucketed range join) against plain-Scala recomputations —
+  * an oracle independent of both Spark's and DuckDB's engines, and the
+  * place where each op's integer/IEEE determinism argument is exercised
+  * directly (rational rank keys, floor-division bins, window enumeration,
+  * quantization code math, interval containment).
+  */
+class ProfileOpsSpec extends SparkSpec {
+
+  private def docsLocal: Seq[(Long, String)] =
+    spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+
+  private def toks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("text_keywords: matches a plain-Scala tf/df recomputation") {
+    val d = docsLocal
+    val tf = d.flatMap { case (id, text) =>
+      toks(text).filter(t => t.length >= 3 && t.forall(c => c >= 'a' && c <= 'z'))
+        .groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val local = tf.groupBy(_._1).flatMap { case (id, xs) =>
+      xs.map { case (_, t, f) => (t, f, df(t)) }
+        .sortBy { case (t, f, dfv) => (-(f.toDouble / dfv), t) }
+        .take(5).zipWithIndex
+        .map { case ((t, f, dfv), i) => (id, i + 1, t, f, dfv) }
+    }.toSet
+    val got = graft.ops.TrainingOps.queries("text_keywords")(spark, sf("0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+  }
+
+  test("q_histogram: matches a plain-Scala floor-division recomputation") {
+    val prices = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSeq
+    val local = prices.groupBy(p => math.floor(p / 10000).toLong)
+      .map { case (bin, xs) =>
+        (bin, xs.length.toLong, xs.map(p => math.floor(p).toLong).sum)
+      }.toSet
+    val got = graft.ops.GenericQueries.queries("q_histogram")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+  }
+
+  test("text_chunk: matches a plain-Scala window enumeration") {
+    val local = docsLocal.flatMap { case (id, text) =>
+      val t = toks(text)
+      val n = t.length.toLong
+      (0L until n by 48L).map { start =>
+        val len = math.min(64L, n - start)
+        (id, start / 48, start, len, t(start.toInt),
+          t((start + len - 1).toInt))
+      }
+    }.toSet
+    val got = graft.ops.TrainingOps.queries("text_chunk")(spark, sf("0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+  }
+
+  test("embed_quantize: matches a plain-Scala int8 code recomputation") {
+    val local = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max
+        val q = v.map(x =>
+          if (scale == 0d) 0L else math.floor(x / scale * 127).toLong)
+        (id, scale, q.length.toLong, q.sum, q.min, q.max)
+      }.toSet
+    val got = graft.ops.TrainingOps.queries("embed_quantize")(spark, sf("0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+    // codes stay in the int8 envelope by construction
+    assert(got.forall { case (_, _, _, _, mn, mx) => mn >= -127 && mx <= 127 })
+  }
+
+  test("q_range_join: matches a plain-Scala containment count") {
+    val ev = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select("event_id", "ts").collect()
+      .map { r =>
+        val millis = r.get(1) match {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        r.getLong(0) -> millis
+      }.toSeq
+    val local = ev.filter(_._1 % 397 == 0).map { case (id, start) =>
+      val end = start + 3L * 3600 * 1000
+      id -> ev.count { case (_, t) => t >= start && t < end }.toLong
+    }.toMap
+    val got = graft.ops.GenericQueries.queries("q_range_join")(spark, sf("0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got === local)
+    // every window contains at least its own trigger event
+    assert(got.values.forall(_ >= 1L))
+  }
+}
