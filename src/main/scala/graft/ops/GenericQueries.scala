@@ -58,6 +58,26 @@ object GenericQueries {
       cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
+    // full outer join (the join-matrix completion next to broadcast/
+    // semi/anti): per-customer order rollup keeps BOTH customers with no
+    // orders AND orders whose customer key misses the dimension; null
+    // keys surface as sentinel -1 so the presentation order is total.
+    // Scale shape: the orders side pre-aggregates to O(custkeys) BEFORE
+    // the join (never row-level fan-in), then a shuffle full-outer on the
+    // key — partial-agg map-side combine keeps hot customers bounded.
+    "q_join_outer" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
+      cust.join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          coalesce(col("c_name"), lit("(none)")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_floor"), lit(0L)).as("total_floor"))
+        .orderBy("custkey", "name")
+    },
     // window: first 3 shipments per supplier under a total tie-break order
     "q_window_topn" -> { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
@@ -456,6 +476,17 @@ object GenericQueries {
          SELECT h, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
            (n_raw IS NULL) AS gap
          FROM hours LEFT JOIN agg USING (h) ORDER BY h""",
+    "q_join_outer" ->
+      """WITH pc AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
+           FROM orders GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, -1) AS custkey,
+           coalesce(c_name, '(none)') AS name,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_floor, 0) AS total_floor
+         FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey
+         ORDER BY custkey, name""",
     "q_range_join" ->
       """WITH w AS (
            SELECT event_id AS window_id, ts AS w_start,
