@@ -152,8 +152,24 @@ object TrainingOps {
     }
     capBindsMemo.clear()
     simhashSigs(s, dir).unpersist()
+    keywordTf(s, dir).unpersist()
     dsh.unpersist()
   }
+
+  /** Per-(doc,term) frequency frame for keyword extraction, persisted once
+    * per session (CacheManager dedups the identical plan, releaseCaches
+    * drops it): BOTH the rank join's left side and the df aggregate read
+    * it, so the source is tokenized and aggregated once instead of twice.
+    * MEMORY_AND_DISK keeps the 100-TB story honest — the frame spills
+    * rather than OOMs, and a deployment that can't cache O(doc x distinct
+    * terms) simply drops the persist and pays the second linear scan.
+    */
+  private def keywordTf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3 && col("term").rlike("^[a-z]+$"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exploded inverted index (doc_id, shingle) off the cached array frame. */
   private def explodedIndex(dsh: DataFrame): DataFrame =
@@ -625,14 +641,11 @@ object TrainingOps {
     // df deliberately comes from a partial-agg groupBy, NOT a window over
     // term — a count() window by term would put every row of a hot term
     // ("the": O(corpus)) in ONE task, while the groupBy map-side-combines
-    // it away. Cost: the unpersisted tf subtree is referenced by both
-    // join sides, so the source is scanned twice (visible in PLANS.md);
-    // at 10^11 docs persist tf exactly like the dedup signature frames.
+    // it away. tf is the session-persisted [[keywordTf]] frame (both join
+    // sides read it — one tokenize+aggregate pass, not two; dropped by
+    // releaseCaches).
     "text_keywords" -> { (s, dir) =>
-      val terms = docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .filter(length(col("term")) >= 3 && col("term").rlike("^[a-z]+$"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = keywordTf(s, dir)
       val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
