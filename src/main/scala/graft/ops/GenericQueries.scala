@@ -226,6 +226,21 @@ object GenericQueries {
         .select(col("user_id"), col("event_id"), col("prev_click_id"))
         .orderBy("user_id", "event_id")
     },
+    // unpivot / melt (q_pivot's inverse — wide metrics to long (key,
+    // metric, value) rows, the shape metric stores and training-feature
+    // tables ingest). Spark's native unpivot is a zero-shuffle per-row
+    // Expand (output = rows x metrics, no join, no agg); values are
+    // floor-to-cents integers so the melted column is one exact type.
+    // Oracle is a UNION ALL reconstruction — a cross-algorithm check.
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("c_nationkey").cast("long").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal_cents"), col("nationkey")), "metric", "val")
+        .orderBy("c_custkey", "metric")
+    },
     // range (interval containment) join — the operator Spark itself has
     // no native plan for: a raw `e.ts BETWEEN w.start AND w.end` join
     // plans as BroadcastNestedLoopJoin, O(windows x events). The scalable
@@ -487,6 +502,14 @@ object GenericQueries {
            coalesce(total_floor, 0) AS total_floor
          FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey
          ORDER BY custkey, name""",
+    "q_unpivot" ->
+      """SELECT c_custkey, metric, val FROM (
+           SELECT c_custkey, 'acctbal_cents' AS metric,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS val FROM customer
+           UNION ALL
+           SELECT c_custkey, 'nationkey' AS metric,
+             CAST(c_nationkey AS BIGINT) AS val FROM customer)
+         ORDER BY c_custkey, metric""",
     "q_range_join" ->
       """WITH w AS (
            SELECT event_id AS window_id, ts AS w_start,
