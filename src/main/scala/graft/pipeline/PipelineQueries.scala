@@ -394,6 +394,31 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("conv_id")).as("n_conv"))
         .orderBy("sink")
+    },
+    // append-mode watermarked windows (emit-on-close — the production
+    // streaming contract the Complete-mode gate can't show): a window row
+    // reaches the sink exactly once, only after the watermark passes its
+    // end. The staged input is the real subset in 8 files plus a
+    // later-mtime sentinel turn 3 h in the future (maxFilesPerTrigger=8,
+    // so the sentinel is batch 2 and its event time closes every real
+    // window). The result is bounded to windows strictly closed by the
+    // REAL data's watermark (max real ts − 30 min) — rows Spark MUST have
+    // emitted in batch 2 regardless of boundary convention or a trailing
+    // no-data flush batch — so the check is deterministic; the oracle is
+    // the same bound computed by DuckDB over the batch subset.
+    "pipe_stream_window_close" -> { (s, dir) =>
+      reg(s)
+      val name = s"stream_close_${streamQueryN.incrementAndGet()}"
+      val mem = graft.streaming.StreamingPipeline
+        .runWindowedAppendOnce(s, stagedAppendInput(s, dir), e2eConfig, name)
+      val bound = Transcripts.events(s, dir)
+        .filter(pmod(col("event_id"), lit(10)) === 0)
+        .agg((date_trunc("second", max(col("ts")))
+          - expr("INTERVAL 30 MINUTES")).as("wm"))
+      mem.crossJoin(broadcast(bound))
+        .filter(col("w_start") + expr("INTERVAL 1 HOUR") < col("wm"))
+        .select(col("w_start"), col("sink"), col("n"))
+        .orderBy("w_start", "sink")
     }
   )
 
@@ -442,6 +467,50 @@ object PipelineQueries {
       // into a vacuous pass — fail staging loudly instead
       require(dup.count() > 0,
         s"stream-dedup staging planted no re-delivered rows for $dir")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
+      tmp
+    })
+
+  /** Two-batch staging for the append-mode window gate: the real 1/10
+    * subset as 8 files, then a sentinel "advance" transcript 3 h past the
+    * subset's max event time as a SECOND file with a strictly later mtime
+    * (the file source orders batches by modification time, and ties would
+    * collapse both into one batch — emitting nothing). The sentinel is
+    * built from a real event forced into the json format slot (full
+    * timestamp fidelity, never quarantined) with its ts overridden, so it
+    * parses and routes like any turn; its own window stays open and is
+    * excluded by the caller's watermark bound.
+    */
+  private val stagedAppendStreams = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedAppendInput(s: SparkSession, dir: String): String =
+    stagedAppendStreams.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_stream_app").toString
+      // 8 real files = batch 1 at maxFilesPerTrigger=8 AND 8 parse splits
+      // (a one-file batch runs the parse single-threaded — the
+      // shuffle-free-width-equals-split-count rule applies per batch)
+      s.read.parquet(stagedStreamInput(s, dir)).coalesce(8)
+        .write.mode("overwrite").parquet(tmp)
+      def parts() = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+      val before = parts()
+      // sentinel from the FULL events table: the 1/10 subset contains no
+      // json-slot row (event_id = 0 mod 10 and = 5 mod 8 has no solution)
+      val all = Transcripts.events(s, dir)
+      val sub = all.filter(pmod(col("event_id"), lit(10)) === 0)
+      val sentinel = all.filter(col("event_id") % 8 === 5)
+        .orderBy("event_id").limit(1)
+        .crossJoin(broadcast(sub.agg(max(col("ts")).as("mxts"))))
+        .withColumn("ts", col("mxts") + expr("INTERVAL 3 HOURS"))
+        .drop("mxts")
+      Transcripts.fromEvents(sentinel).coalesce(1)
+        .write.mode("append").parquet(tmp)
+      val added = (parts() -- before).toSeq
+      require(added.nonEmpty,
+        s"append-gate staging planted no sentinel file for $dir")
+      val later = System.currentTimeMillis() + 60000
+      added.foreach(p => new java.io.File(p).setLastModified(later))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))))
       tmp
@@ -631,6 +700,14 @@ object PipelineQueries {
           FROM (SELECT $sinkSql AS sink, user_id AS conv FROM events
                 WHERE event_id % 10 = 0)
           GROUP BY sink ORDER BY sink""",
+    "pipe_stream_window_close" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, $sinkSql AS sink,
+          count(*) AS n
+          FROM events WHERE event_id % 10 = 0
+            AND date_trunc('hour', ts) + INTERVAL 1 HOUR <
+              (SELECT date_trunc('second', max(ts)) - INTERVAL 30 MINUTE
+               FROM events WHERE event_id % 10 = 0)
+          GROUP BY 1, 2 ORDER BY w_start, sink""",
     // every hostile odd row must surface in quarantine as malformed (and
     // be COUNTED); every even mini row routes to the default sink — total
     // row conservation is the warn+drop+count pin
