@@ -37,6 +37,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append mode emits each closed window exactly once and withholds open tails") {
+    val root = Files.createTempDirectory("graft_append").toString
+    val in = s"$root/input"
+    val base = TranscriptGen.transcripts(spark, N)
+    base.coalesce(4).write.parquet(in)
+    def parts() = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val before = parts()
+    // sentinel "advance" turn 3 h past the real max ts, rebuilt THROUGH
+    // fromEvents so the future timestamp lands in the TEXT the parser
+    // reads (editing the envelope ts alone would leave the parsed event
+    // time — and so the watermark — unchanged); json slot (id % 8 == 5)
+    // for full timestamp fidelity
+    val evs = TranscriptGen.events(spark, N)
+    val sentinel = Transcripts.fromEvents(
+      evs.filter(col("event_id") % 8 === 5).orderBy("event_id").limit(1)
+        .crossJoin(broadcast(evs.agg(max(col("ts")).as("mxts"))))
+        .withColumn("ts", col("mxts") + expr("INTERVAL 3 HOURS"))
+        .drop("mxts"))
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    val added = (parts() -- before).toSeq
+    assert(added.nonEmpty, "sentinel file was not written")
+    val later = System.currentTimeMillis() + 60000
+    added.foreach(p => new java.io.File(p).setLastModified(later))
+    val cfg = PipelineConfig.default(in, "", Transcripts.RunTsMillis)
+
+    val emitted = StreamingPipeline
+      .runWindowedAppendOnce(spark, in, cfg, "stream_append_spec")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+    // exactly once: no (window, sink) appears twice in the raw sink table
+    val keys = emitted.map(t => (t._1, t._2))
+    assert(keys.distinct.length === keys.length, "window emitted twice")
+
+    // every emitted window is closed w.r.t. the REAL data's watermark and
+    // matches the batch count; open tail windows are withheld
+    val batch = Pipeline
+      .transform(spark.read.parquet(in), cfg,
+        graft.enrich.Enrich.defaultLookup(spark))
+      .groupBy(window(col("ts"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("sink"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val batchMap = batch.map(t => (t._1, t._2) -> t._3).toMap
+    emitted.foreach { case (w, sink, n) =>
+      assert(batchMap((w, sink)) === n, s"count mismatch for ($w, $sink)")
+    }
+    assert(emitted.nonEmpty)
+    // the sentinel's own (still-open) window must be absent
+    val maxEmitted = emitted.map(_._1.getTime).max
+    val maxBatch = batch.map(_._1.getTime).max
+    assert(maxEmitted < maxBatch, "open tail window was not withheld")
+  }
+
   test("mapGroupsWithState accumulates per-conversation state across batches") {
     val root = Files.createTempDirectory("graft_state").toString
     val in = s"$root/input"
