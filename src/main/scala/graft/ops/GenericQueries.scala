@@ -188,6 +188,61 @@ object GenericQueries {
           col("n"), col("total_floor"))
         .orderBy("status", "priority")
     },
+    // explicit GROUPING SETS (the multi-dim agg family's third member —
+    // the NON-hierarchical set {(a,b),(a),(b)} that neither rollup nor
+    // cube expresses: rollup omits (b), cube adds the grand total). The
+    // source columns are null-free, so output nulls identify the set
+    // exactly; `lvl` derives the set id portably from those nulls (Spark
+    // grouping_id() and DuckDB GROUPING_ID() bit conventions need not
+    // agree, and the derived form is pinned by the data itself). Scale
+    // shape: ONE scan — Expand replicates each row once per set (×3)
+    // before the partial agg, so map-side combine still collapses hot
+    // groups; never three scans unioned.
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
+        .select(
+          (when(col("o_orderstatus").isNull, 2L).otherwise(0L) +
+            when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("lvl"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_floor"))
+        .orderBy("lvl", "status", "priority")
+    },
+    // salted join — the skew rewrite as a first-class operator, pinned by
+    // RESULT EQUALITY to the plain equi-join (the oracle runs the unsalted
+    // join; a wrong salt/replication would change row multiplicity and
+    // break the counts — a cross-plan check). Shape: the fact side gets a
+    // deterministic salt in [0,S); the dim side is replicated ×S via a
+    // broadcast cross join with the salt axis; the join key becomes
+    // (custkey, salt), so ONE hot customer spreads across S reducer
+    // partitions instead of landing in one task. shuffle_hash hint keeps
+    // the demo honest at test scale (an auto-broadcast dim would bypass
+    // the salted exchange; at 100 TB you salt precisely when the dim is
+    // NOT broadcastable). Dim replication cost is ×S on the SMALL side
+    // only — the fact table is never duplicated.
+    "q_join_salted" -> { (s, dir) =>
+      val S = 8
+      val salts = s.range(S).select(col("id").cast("int").as("salt"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .crossJoin(broadcast(salts))
+      val fact = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(S.toLong)).cast("int").as("salt"))
+      fact.hint("shuffle_hash")
+        .join(dim, fact("o_custkey") === dim("c_custkey") &&
+          fact("salt") === dim("salt"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
+        .orderBy("nationkey")
+    },
     // pivot with an EXPLICIT value list (omitting it costs an extra
     // distinct-collect pass over the fact table — never at 100 TB)
     "q_pivot" -> { (s, dir) =>
@@ -452,6 +507,24 @@ object GenericQueries {
          CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY status, priority""",
+    "q_grouping_sets" ->
+      """SELECT CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+           + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS lvl,
+         coalesce(o_orderstatus, '(all)') AS status,
+         coalesce(o_orderpriority, '(all)') AS priority,
+         count(*) AS n,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
+         FROM orders GROUP BY GROUPING SETS (
+           (o_orderstatus, o_orderpriority), (o_orderstatus),
+           (o_orderpriority))
+         ORDER BY lvl, status, priority""",
+    "q_join_salted" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         count(*) AS n_orders,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY nationkey ORDER BY nationkey""",
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,

@@ -113,4 +113,57 @@ class ProfileOpsSpec extends SparkSpec {
     // every window contains at least its own trigger event
     assert(got.values.forall(_ >= 1L))
   }
+
+  test("q_grouping_sets: matches a plain-Scala three-set recomputation " +
+      "through ONE Expand pass (never three unioned scans)") {
+    val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.floor(r.getDouble(2)).toLong)).toSeq
+    def agg(key: ((String, String, Long)) => (String, String), lvl: Long) =
+      o.groupBy(key).map { case ((s0, p0), xs) =>
+        (lvl, s0, p0, xs.length.toLong, xs.map(_._3).sum)
+      }
+    val local =
+      (agg(t => (t._1, t._2), 0L) ++ agg(t => (t._1, "(all)"), 1L) ++
+        agg(t => ("(all)", t._2), 2L)).toSet
+    val df = graft.ops.GenericQueries
+      .queries("q_grouping_sets")(spark, sf("0.001"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+    // one-pass plan: the three sets come from a single Expand over a
+    // single scan (execute first — AQE prints un-fused before execution)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Union"))
+  }
+
+  test("q_join_salted: equals the unsalted join and the salted exchange " +
+      "is real (shuffle hash join on (key, salt), dim never broadcast)") {
+    val cust = spark.read.parquet(sf("0.001") + "/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val orders = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1)).toLong)).toSeq
+    val local = orders.flatMap { case (ck, fl) => cust.get(ck).map(_ -> fl) }
+      .groupBy(_._1).map { case (nk, xs) =>
+        (nk, xs.length.toLong, xs.map(_._2).sum)
+      }.toSet
+    val df = graft.ops.GenericQueries.queries("q_join_salted")(spark, sf("0.001"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+    // the key join must be the salted SHUFFLE join — a broadcast hash join
+    // on the dim would bypass the exchange the operator exists to salt.
+    // (The ×S salt-axis replication is a BroadcastNestedLoopJoin by
+    // design: that broadcast is O(S) rows, not the dim.)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
 }
