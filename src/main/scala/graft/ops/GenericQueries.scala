@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,6 +242,39 @@ object GenericQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("long").as("total_floor"))
         .orderBy("nationkey")
+    },
+    // Z-order layout key (space-filling curve) — the data-LAYOUT primitive
+    // behind multi-dimensional min/max file pruning at 100 TB: interleave
+    // the bits of two dimension keys so that sorting by the result
+    // clusters BOTH dimensions at once (writing z-sorted parquet gives
+    // every file a tight min/max envelope in x AND y, so a scan filtered
+    // on either dimension skips most files — a plain sort clusters only
+    // its leading column). The key is pure 64-bit integer magic-number
+    // bit spreading, identical in both engines. The query aggregates per
+    // 256x256 z-tile and emits each tile's x/y envelope — the pruning
+    // property itself (every tile's spans are <= 255, pinned in
+    // ProfileOpsSpec), not just the key. Scale shape: one scan + one
+    // partial agg on O(tiles) keys; the production write is
+    // repartitionByRange(z) + sortWithinPartitions(z), no extra shuffle
+    // beyond the range partitioner.
+    "q_zorder" -> { (s, dir) =>
+      def spread(c: Column): Column = {
+        val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+        d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      t(s, dir, "orders")
+        .select(col("o_custkey").bitwiseAND(lit(0xFFFFL)).as("x"),
+          floor(col("o_totalprice") / 100).cast("long")
+            .bitwiseAND(lit(0xFFFFL)).as("y"))
+        .select(col("x"), col("y"),
+          spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)).as("z"))
+        .groupBy(shiftright(col("z"), 16).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("tile")
     },
     // pivot with an EXPLICIT value list (omitting it costs an extra
     // distinct-collect pass over the fact table — never at 100 TB)
@@ -525,6 +558,28 @@ object GenericQueries {
          CAST(sum(floor(o_totalprice)) AS BIGINT) AS total_floor
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY nationkey ORDER BY nationkey""",
+    "q_zorder" ->
+      """WITH base AS (
+           SELECT o_custkey & 65535 AS x,
+             CAST(floor(o_totalprice / 100) AS BIGINT) & 65535 AS y
+           FROM orders
+         ), s1 AS (
+           SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
+             ((y | (y << 8)) & 16711935) AS ya FROM base
+         ), s2 AS (
+           SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+             ((ya | (ya << 4)) & 252645135) AS yb FROM s1
+         ), s3 AS (
+           SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+             ((yb | (yb << 2)) & 858993459) AS yc FROM s2
+         ), s4 AS (
+           SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xd,
+             ((yc | (yc << 1)) & 1431655765) AS yd FROM s3
+         )
+         SELECT (xd | (yd << 1)) >> 16 AS tile, count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+         FROM s4 GROUP BY tile ORDER BY tile""",
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,

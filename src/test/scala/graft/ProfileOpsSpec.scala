@@ -166,4 +166,37 @@ class ProfileOpsSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"))
     assert(!plan.contains("BroadcastHashJoin"))
   }
+
+  test("q_zorder: matches a plain-Scala bit-interleave recomputation and " +
+      "every 256x256 z-tile has tight envelopes in BOTH dims (the pruning " +
+      "property)") {
+    def spread(v0: Long): Long = {
+      var v = v0
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0) & 0xFFFFL,
+        math.floor(r.getDouble(1) / 100).toLong & 0xFFFFL)).toSeq
+    val local = o.map { case (x, y) =>
+      ((spread(x) | (spread(y) << 1)) >> 16, x, y)
+    }.groupBy(_._1).map { case (tile, xs) =>
+      (tile, xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max)
+    }.toSet
+    val got = graft.ops.GenericQueries.queries("q_zorder")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+    // the point of the curve: EVERY tile bounds both dimensions at once —
+    // a file written per tile is prunable by min/max on either column
+    got.foreach { case (tile, _, mnx, mxx, mny, mxy) =>
+      assert(mxx - mnx <= 255L, s"tile $tile x-span ${mxx - mnx}")
+      assert(mxy - mny <= 255L, s"tile $tile y-span ${mxy - mny}")
+    }
+  }
 }
