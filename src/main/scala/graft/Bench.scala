@@ -221,13 +221,19 @@ object Bench {
         warmInput = Some(scalePath))
     }
     // a failed child JVM marks the leg null in the JSON (never Infinity /
-    // an aggregate silently missing one job's throughput); leg choice =
-    // plausibility filter (eff <= 1.05: children collectively slower than
-    // the one 4N cluster is physically impossible absent degradation, so
-    // dropping too-favorable legs only lowers the number) then lowest
-    // window task-CPU — see ScaleBench.pickCorunLeg
+    // an aggregate silently missing one job's throughput); leg validity =
+    // plausibility (eff <= 1.05: children collectively slower than the
+    // one 4N cluster is physically impossible absent degradation) AND
+    // CPU cleanliness (window task-CPU <= 1.35x this run's steady-trial
+    // expectation — steal storms inflate guest CPU, and a storm on the
+    // 8c trial biases the ratio DOWN just as one on the children biases
+    // it UP); among valid legs, lowest window task-CPU; none valid =>
+    // null, with every leg's diagnosis still in the JSON — see
+    // ScaleBench.pickCorunLeg
+    val corunCpuBound =
+      1.35 * (trials8.map(_.cpuSec).min + trials2.map(_.cpuSec).min)
     val effCorun: Option[Double] =
-      ScaleBench.pickCorunLeg(corunLegs.flatten).map(_.eff)
+      ScaleBench.pickCorunLeg(corunLegs.flatten, corunCpuBound).map(_.eff)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleRoot))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -258,8 +264,10 @@ object Bench {
       s""""scaling_protocol":"full disk-to-disk pipeline at two cluster""" +
       s""" sizes (local-cluster, 1 vs 4 forked 2-core executor JVMs), raw""" +
       s""" trials (turbo confound biases efficiency downward; co-run leg""" +
-      s""" is the turbo-free estimate, 3 time-paired legs selected by""" +
-      s""" lowest window task-CPU), full-size in-session warm, load-gated""" +
+      s""" is the turbo-free estimate, 3 time-paired legs: valid =""" +
+      s""" ratio <= 1.05 AND window task-CPU <= 1.35x steady expectation,""" +
+      s""" reported = lowest-CPU valid leg else null), full-size""" +
+      s""" in-session warm, load-gated""" +
       s""" fixed interleaved pairs + CPU-time companion; see""" +
       s""" BENCH/BASELINE.md","bench_turns":$benchTurns}"""
     // the stdout line is what the driver captures, but a tmux pane wraps
