@@ -87,6 +87,15 @@ object TrainingOps {
   val IvfCells = 32
   val IvfProbes = 20
 
+  /** dedup_substring window width (tokens) and the deterministic footer
+    * planted on `doc_id % 9` docs — both mirrored verbatim in the oracle
+    * SQL. 10 footer tokens -> 3 full in-footer windows shared by every
+    * planted doc; the windows straddling the original tail stay unique.
+    */
+  val SubstrWin = 8
+  val SubstrFooter =
+    "this footer text is shared verbatim across all mirrored documents"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -980,6 +989,46 @@ object TrainingOps {
       pairs.filter(col("cos") >= 0.99)
         .select("ia", "ib").orderBy("ia", "ib")
     },
+    // Substring-level dedup (Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better", the ExactSubstr variant): doc-level
+    // Jaccard (dedup_ngram) misses otherwise-unique docs that share a
+    // boilerplate SPAN (license footers, nav chrome), so this flags
+    // per-doc duplicated-window mass — every 8-token window that also
+    // occurs in ANOTHER doc. The paper's tool is a suffix array; the
+    // Spark-shaped equivalent is fixed-width windowing: spans shorter
+    // than W can't match, longer shared spans are covered by their
+    // W-windows. The corpus's natural near-dup docs already share long
+    // runs (caught here too); the doc_id % 9 footer plant (a fixed
+    // 10-token footer appended on BOTH sides, FIXTURES.md) additionally
+    // exercises the case Jaccard can't see — otherwise-unique docs
+    // sharing ONLY the boilerplate span. Scale shape:
+    // explode to O(total tokens) window rows, ONE count agg keyed by
+    // window text (map-side partial absorbs the boilerplate hot keys —
+    // a footer in 10^7 docs is one partially-aggregated key, not a skewed
+    // reduce), then an equi-join back; the shared-window set is
+    // O(boilerplate corpus), NOT driver-size at 10^11 docs, so no
+    // broadcast hint (AQE may still pick one when it measures small).
+    // Production would key the shuffle on a 128-bit window hash; raw
+    // window text keeps the oracle exact here. Per-doc windows are
+    // DISTINCT (word_shingles semantics) so a window's count is its doc
+    // frequency; intra-doc repetition is text_repetition's job.
+    "dedup_substring" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val planted = when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" " + SubstrFooter))).otherwise(col("text"))
+      val win = docs(s, dir).select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(tokens(planted), SubstrWin))
+          .as("w"))
+      val shared = win.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("w"), lit(1L).as("dup"))
+      win.join(shared, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup_win"))
+        .select(col("doc_id"), col("n_win"), col("n_dup_win"),
+          (col("n_dup_win") * 10 >= col("n_win") * 2).as("span_dup"))
+        .orderBy("doc_id")
+    },
     // ---- similarity search ----
     "ann_brute" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -1311,6 +1360,24 @@ object TrainingOps {
     "dedup_embed" ->
       """SELECT vec_id AS ia, vec_id + 100000 AS ib FROM embeddings
          ORDER BY ia, ib""",
+    "dedup_substring" ->
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+                THEN text || ' $SubstrFooter' ELSE text END AS text
+              FROM documents),
+          tok AS (SELECT doc_id, $tokSql AS t FROM base),
+          win AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                      range(1, greatest(len(t) - ${SubstrWin - 2}, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                           t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                           t[i+6] || ' ' || t[i+7])) AS w
+                  FROM tok),
+          shared AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2)
+          SELECT win.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+            CAST(count(shared.w) AS BIGINT) AS n_dup_win,
+            count(shared.w) * 10 >= count(*) * 2 AS span_dup
+          FROM win LEFT JOIN shared ON win.w = shared.w
+          GROUP BY win.doc_id ORDER BY doc_id""",
     "ann_brute" ->
       """WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -86,6 +86,36 @@ class DedupSpec extends SparkSpec {
     assert(ids("dedup_simhash") === ngram)
   }
 
+  test("dedup_substring: exact 8-token window boundary semantics") {
+    import spark.implicits._
+    // hand-built corpus pinning every boundary the oracle also encodes:
+    // an exactly-8-token shared run matches, a 7-token run does not,
+    // <8-token docs vanish, per-doc windows are DISTINCT, and the %9
+    // footer plant gives exactly the 3 all-footer windows as dups.
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    Seq(
+      1L -> "a b c d e f g h",
+      2L -> "z a b c d e f g h y",
+      3L -> "p q r s t u v", // 7 tokens: no windows at all
+      4L -> "a b c d e f g x q r s t", // shares only a 7-run with 1/2
+      5L -> "m m m m m m m m m m", // one DISTINCT window, no partner
+      9L -> "unique nine words here one", // footer-planted (9 % 9 == 0)
+      18L -> "different other words" // footer-planted (18 % 9 == 0)
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TrainingOps.queries("dedup_substring")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, true), // its lone window recurs inside doc 2
+      (2L, 3L, 1L, true),
+      (4L, 5L, 0L, false), // 7-token overlap is below the window width
+      (5L, 1L, 0L, false), // intra-doc repetition collapses to one window
+      (9L, 8L, 3L, true), // 5 own tokens + 10 footer = 15 -> 8 windows
+      (18L, 6L, 3L, true) // 3 own tokens + 10 footer = 13 -> 6 windows
+    ))
+  }
+
   test("mechanisms still agree at sf0.1 (CLAUDE.md banding invariant)") {
     // the invariant: re-check recall at the larger sf whenever
     // signatures/banding/thresholds change — candidate generation bugs
