@@ -449,6 +449,78 @@ object GenericQueries {
           (abs(col("a90") - col("p90")) <= lit(2.0d))
             .as("approx_within_2units"))
         .orderBy("l_returnflag")
+    },
+    // heavy hitters (frequency > n/16) over an unbounded key domain via a
+    // Misra-Gries sketch + exact verification — the two-pass plan that
+    // finds hot keys at 10^11 rows WITHOUT shuffling every distinct key:
+    // pass 1 is a partial-mergeable 64-counter summary (O(1) state per
+    // task, O(capacity) bytes shuffled — a groupBy here shuffles the full
+    // key cardinality); pass 2 counts exactly, but only over the O(64)
+    // candidate set (broadcast semi-filter), so map-side combine sees at
+    // most 64 groups. MG guarantees candidates ⊇ all keys with freq >
+    // n/65, so nothing above the n/16 threshold is ever missed; the
+    // output is exact counts — deterministic even though the intermediate
+    // sketch depends on merge order. Skew is PLANTED deterministically
+    // (the FIXTURES.md convention): 3 hot keys at ~n/12 (pass), 40 warm
+    // at ~n/160 (must be excluded), ~n/2 cold singletons (sketch noise).
+    "q_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val key = when(col("event_id") % 4 === 0,
+          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("warm_"), (col("event_id") % 40).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+      val keyed = t(s, dir, "events").select(key.as("k"))
+      val sketch = keyed.as[String]
+        .select(graft.functions.MisraGriesAgg.toColumn.name("cand"))
+      val cands = sketch.select(explode(map_keys(col("cand"))).as("k"))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      keyed.join(broadcast(cands), Seq("k"), "left_semi")
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 16 > col("n"))
+        .select(col("k"), col("cnt"))
+        .orderBy("k")
+    },
+    // CDC upsert / MERGE INTO: compact a change batch (multi-version
+    // updates, deletes, inserts) onto a base snapshot — the maintenance
+    // operation behind every mutable table a log pipeline feeds. Latest
+    // version per key wins (window over the CHANGE BATCH only — never the
+    // base), then ONE full-outer shuffle join applies it: base-only rows
+    // pass through, op=U rewrites in place, op=D drops, op=I lands on a
+    // base-miss. Scale shape: the window sorts only the O(batch) side;
+    // the join shuffles on the key with no fan-out (both sides unique per
+    // key); AQE broadcasts the batch when it is genuinely small — no hard
+    // hint, a 30%-churn batch at 10^11 rows must stay a shuffle join.
+    // Changes are derived deterministically from the base itself.
+    "q_cdc_upsert" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("key"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("key")
+      val changes =
+        base.filter(k % 10 === 0).select(k.as("key"), lit("U").as("op"),
+            lit(1L).as("version"), lit("U1").as("new_status"),
+            lit(null).cast("long").as("new_cents"))
+          .union(base.filter(k % 20 === 0).select(k, lit("U"), lit(2L),
+            lit("U2"), lit(null).cast("long")))
+          .union(base.filter(k % 10 === 5).select(k, lit("D"), lit(1L),
+            lit(null).cast("string"), lit(null).cast("long")))
+          .union(base.filter(k % 10 === 3).select((k + 50000000L).as("key"),
+            lit("I"), lit(1L), lit("NEW"), lit(0L)))
+      val wv = Window.partitionBy(col("key"))
+        .orderBy(col("version").desc, col("op"))
+      val latest = changes.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).drop("rn")
+      base.join(latest, Seq("key"), "full_outer")
+        .filter(col("op").isNull ||
+          (col("op") === "U" && col("status").isNotNull) ||
+          (col("op") === "I" && col("status").isNull))
+        .select(col("key"),
+          coalesce(col("new_status"), col("status")).as("status"),
+          coalesce(col("new_cents"), col("cents")).as("cents"))
+        .orderBy("key")
     }
   )
 
@@ -666,6 +738,46 @@ object GenericQueries {
                FROM lineitem GROUP BY 1)
          SELECT e.l_returnflag, e.n, e.p50, e.p90, e.p99,
            (abs(a.a90 - e.p90) <= 2.0) AS approx_within_2units
-         FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag"""
+         FROM e JOIN a USING (l_returnflag) ORDER BY l_returnflag""",
+    // exact reformulation: the sketch is an internal pruning step; the
+    // final answer is the exact freq > n/16 set, which SQL states directly
+    "q_heavy_hitters" ->
+      """WITH keyed AS (
+           SELECT CASE
+             WHEN event_id % 4 = 0 THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+             WHEN event_id % 4 = 1 THEN 'warm_' || CAST(event_id % 40 AS VARCHAR)
+             ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS k
+           FROM events),
+         tot AS (SELECT count(*) AS n FROM keyed),
+         cnts AS (SELECT k, count(*) AS cnt FROM keyed GROUP BY k)
+         SELECT k, cnt FROM cnts, tot WHERE cnt * 16 > n ORDER BY k""",
+    "q_cdc_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey AS key, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         chg AS (
+           SELECT key, 'U' AS op, CAST(1 AS BIGINT) AS version,
+             'U1' AS new_status, CAST(NULL AS BIGINT) AS new_cents
+           FROM base WHERE key % 10 = 0
+           UNION ALL SELECT key, 'U', 2, 'U2', NULL
+           FROM base WHERE key % 20 = 0
+           UNION ALL SELECT key, 'D', 1, NULL, NULL
+           FROM base WHERE key % 10 = 5
+           UNION ALL SELECT key + 50000000, 'I', 1, 'NEW', 0
+           FROM base WHERE key % 10 = 3),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY version DESC, op) AS rn
+             FROM chg) WHERE rn = 1)
+         SELECT COALESCE(b.key, l.key) AS key,
+           COALESCE(l.new_status, b.status) AS status,
+           COALESCE(l.new_cents, b.cents) AS cents
+         FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+         WHERE l.op IS NULL
+           OR (l.op = 'U' AND b.status IS NOT NULL)
+           OR (l.op = 'I' AND b.status IS NULL)
+         ORDER BY key"""
   )
 }

@@ -867,6 +867,40 @@ object TrainingOps {
             .as("keep_ppm"))
         .orderBy("source")
     },
+    // Corpus-familiarity scoring — the integer surrogate for n-gram LM
+    // perplexity filtering (the CCNet/KenLM quality step): each doc is
+    // scored by how common its word bigrams are in the corpus itself.
+    // familiarity = Σ over the doc's bigram INSTANCES of that bigram's
+    // corpus count; fam_per_gram is the floor-divided mean — docs full of
+    // rare/garbled bigrams rank low, fluent ones high. All integer math
+    // (counts, sums, div) so the oracle never compares floats, unlike a
+    // log-prob formulation. Scale shape: explode → one partial-agg
+    // shuffle on bigram keys (vocab²-bounded, Zipf-concentrated) → one
+    // equi-join of instances to counts → one per-doc agg. The join's
+    // build side is the AGGREGATED count frame (distinct bigrams, not
+    // instances); hot bigrams skew the probe side only, which partial
+    // aggregation absorbs — the same inverted-index shape as dedup_ngram,
+    // minus the pair blowup. No driver-side state at any corpus size.
+    "text_lm_score" -> { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val inst = tok.select(col("doc_id"),
+        explode(when(size(col("t")) >= 2,
+            expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .otherwise(expr("array()").cast("array<string>"))).as("bg"))
+      val cnts = inst.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val fam = inst.join(cnts, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c")).cast("long").as("familiarity"))
+      docs(s, dir).select(col("doc_id")).join(fam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("familiarity"), lit(0L)).as("familiarity"),
+          when(col("n_bigrams").isNotNull,
+            expr("familiarity div n_bigrams")).otherwise(lit(0L))
+            .as("fam_per_gram"))
+        .orderBy("doc_id")
+    },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -1249,6 +1283,24 @@ object TrainingOps {
             CAST(min(n_tokens) OVER () * 1000000 // n_tokens AS BIGINT)
               AS keep_ppm
           FROM per ORDER BY source""",
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents),
+          inst AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM tok),
+          cnts AS (SELECT bg, count(*) AS c FROM inst GROUP BY bg),
+          fam AS (SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(c) AS BIGINT) AS familiarity
+            FROM inst JOIN cnts USING (bg) GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            coalesce(f.familiarity, 0) AS familiarity,
+            CAST(CASE WHEN f.n_bigrams IS NOT NULL
+              THEN f.familiarity // f.n_bigrams ELSE 0 END AS BIGINT)
+              AS fam_per_gram
+          FROM documents d LEFT JOIN fam f ON d.doc_id = f.doc_id
+          ORDER BY d.doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM (SELECT doc_id, text FROM documents

@@ -199,4 +199,49 @@ class ProfileOpsSpec extends SparkSpec {
       assert(mxy - mny <= 255L, s"tile $tile y-span ${mxy - mny}")
     }
   }
+
+  test("q_cdc_upsert: matches a plain-Scala MERGE recomputation") {
+    val base = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100).toLong)).toSeq
+    // latest-wins per key: U2 (v2) beats U1 (v1); D removes; I adds new keys
+    val local = scala.collection.mutable.Map[Long, (String, Long)]()
+    base.foreach { case (k, st, c) => local(k) = (st, c) }
+    base.foreach { case (k, _, c) =>
+      if (k % 10 == 5) local.remove(k)
+      else if (k % 20 == 0) local(k) = ("U2", c)
+      else if (k % 10 == 0) local(k) = ("U1", c)
+      if (k % 10 == 3) local(k + 50000000L) = ("NEW", 0L)
+    }
+    val expected = local.map { case (k, (st, c)) => (k, st, c) }.toSet
+    val got = graft.ops.GenericQueries.queries("q_cdc_upsert")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the branch census: every op class genuinely exercised
+    assert(base.exists(_._1 % 10 == 5) && base.exists(_._1 % 20 == 0) &&
+      base.exists(k => k._1 % 10 == 0 && k._1 % 20 != 0) &&
+      base.exists(_._1 % 10 == 3))
+  }
+
+  test("text_lm_score: matches a plain-Scala bigram-familiarity recomputation") {
+    val d = docsLocal
+    val inst = d.flatMap { case (id, text) =>
+      val t = toks(text)
+      if (t.size < 2) Seq.empty
+      else t.sliding(2).map(p => (id, p.mkString(" "))).toSeq
+    }
+    val corpus = inst.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
+    val local = d.map { case (id, _) =>
+      val mine = inst.filter(_._1 == id)
+      val fam = mine.map(p => corpus(p._2)).sum
+      val n = mine.length.toLong
+      (id, n, fam, if (n > 0) fam / n else 0L)
+    }.toSet
+    val got = graft.ops.TrainingOps.queries("text_lm_score")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got === local)
+  }
 }
