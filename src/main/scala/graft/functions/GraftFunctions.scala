@@ -40,6 +40,9 @@ object GraftFunctions {
     "compact_map" -> ((exprs: Seq[Expression]) => CompactMap(exprs)),
     "word_shingles" -> ((exprs: Seq[Expression]) => WordShingles(exprs(0),
       exprs(1).eval().asInstanceOf[Int])),
+    "word_pairs" -> ((exprs: Seq[Expression]) => WordPairs(exprs(0))),
+    "bpe_merge" -> ((exprs: Seq[Expression]) => BpeMerge(exprs(0),
+      exprs(1).eval().toString, exprs(2).eval().toString)),
     "lumberjack_encode" -> ((exprs: Seq[Expression]) => LumberjackEncode(exprs.head)),
     "lumberjack_decode" -> ((exprs: Seq[Expression]) => LumberjackDecode(exprs.head)),
     "merge_maps" -> ((exprs: Seq[Expression]) => MergeMaps(exprs(0), exprs(1))),
@@ -108,6 +111,14 @@ object GraftFunctions {
   /** Distinct word n-gram shingles of an array<string> token column. */
   def word_shingles(c: Column, n: Int): Column =
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  /** ALL adjacent pairs (space-joined, with multiplicity) of array<string>. */
+  def word_pairs(c: Column): Column = call_function("word_pairs", c)
+
+  /** One greedy left-to-right BPE merge of (left, right) over array<string>. */
+  def bpe_merge(c: Column, left: String, right: String): Column =
+    call_function("bpe_merge", c, org.apache.spark.sql.functions.lit(left),
+      org.apache.spark.sql.functions.lit(right))
 
   /** Lumberjack v2 frame from an array<string> of payloads (seq 1-based). */
   def lumberjack_encode(c: Column): Column = call_function("lumberjack_encode", c)

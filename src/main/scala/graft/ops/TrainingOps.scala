@@ -882,11 +882,13 @@ object TrainingOps {
     // aggregation absorbs — the same inverted-index shape as dedup_ngram,
     // minus the pair blowup. No driver-side state at any corpus size.
     "text_lm_score" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      // word_pairs is the native (codegen'd) form of the
+      // transform(sequence(...), i -> concat(t[i],' ',t[i+1])) HOF stack —
+      // ArrayTransform is CodegenFallback and would un-fuse this operator
       val tok = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
       val inst = tok.select(col("doc_id"),
-        explode(when(size(col("t")) >= 2,
-            expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
-          .otherwise(expr("array()").cast("array<string>"))).as("bg"))
+        explode(GraftFunctions.word_pairs(col("t"))).as("bg"))
       val cnts = inst.groupBy(col("bg")).agg(count(lit(1)).as("c"))
       val fam = inst.join(cnts, Seq("bg"))
         .groupBy(col("doc_id"))
@@ -900,6 +902,54 @@ object TrainingOps {
             expr("familiarity div n_bigrams")).otherwise(lit(0L))
             .as("fam_per_gram"))
         .orderBy("doc_id")
+    },
+    // BPE vocabulary training — learn the first 8 byte-pair merges from
+    // the corpus (the tokenizer-training step of a data pipeline). The
+    // scale shape is the whole point: ONE corpus pass builds the
+    // word-count frame, then every iteration runs over that O(vocab)
+    // aggregated frame only — count adjacent symbol pairs weighted by
+    // word frequency (native codegen'd word_pairs kernel), take the
+    // argmax under a total order (count desc, pair asc — deterministic),
+    // bake the merge in as one more chained codegen'd BpeMerge literal
+    // expression. The driver holds exactly one row per iteration (the
+    // argmax), like ivfLloyd's centroid table — never row data. Not
+    // SQL-expressible (iterative argmax): rows-only check + BpeSpec's
+    // plain-Scala recompute pin.
+    "text_bpe_train" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val wc = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .persist()
+      try {
+        // seed symbols: the word's characters (split keeps no empties
+        // after array_remove; words are whitespace-free by construction)
+        var seqCol: Column = array_remove(split(col("word"), ""), "")
+        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+        var rank = 1
+        var exhausted = false
+        while (rank <= 8 && !exhausted) {
+          val top = wc.select(col("wcnt"),
+              explode(GraftFunctions.word_pairs(seqCol)).as("p"))
+            .groupBy(col("p")).agg(sum(col("wcnt")).as("c"))
+            .orderBy(col("c").desc, col("p").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val pair = top(0).getString(0)
+            val cnt = top(0).getLong(1)
+            val Array(l, r) = pair.split(" ", 2)
+            merges += ((rank, l, r, cnt))
+            seqCol = GraftFunctions.bpe_merge(seqCol, l, r)
+            rank += 1
+          }
+        }
+        import s.implicits._
+        merges.toSeq
+          .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+          .orderBy("merge_rank")
+      } finally { wc.unpersist(); () }
     },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>

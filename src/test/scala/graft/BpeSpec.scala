@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Pins text_bpe_train against a plain-Scala BPE recomputation (same
+  * greedy-left-to-right merge and the same (count desc, pair asc) argmax
+  * total order), plus the word_pairs / bpe_merge kernel semantics on
+  * adversarial inputs (overlapping runs, multiplicity).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def applyMerge(a: Array[String], l: String, r: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < a.length) {
+      if (i < a.length - 1 && a(i) == l && a(i + 1) == r) { buf += (l + r); i += 2 }
+      else { buf += a(i); i += 1 }
+    }
+    buf.toArray
+  }
+
+  test("text_bpe_train: matches a plain-Scala BPE recomputation") {
+    val texts = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wc = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var seqs: Map[String, Array[String]] =
+      wc.keys.map(w => w -> w.split("").filter(_.nonEmpty)).toMap
+    val local = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      wc.foreach { case (w, c) =>
+        val a = seqs(w)
+        var i = 0
+        while (i < a.length - 1) {
+          val k = (a(i), a(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, s"$l $r") }
+        local += ((rank, l, r, c))
+        seqs = seqs.map { case (w, a) => w -> applyMerge(a, l, r) }
+      }
+    }
+    val got = graft.ops.TrainingOps.queries("text_bpe_train")(spark, sf("0.001"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 8)
+    assert(got.toSeq === local.toSeq)
+    // later merges genuinely build on earlier ones (some merged symbol is
+    // multi-char on one side) — the iteration is not vacuously unigram
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
+
+  test("word_pairs and bpe_merge kernel semantics") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(Seq("a", "a", "a", "b", "a", "a")).toDF("s")
+    // pairs carry multiplicity: (a,a) appears 3 times in this row
+    val pairs = df.select(GraftFunctions.word_pairs(col("s"))).head.getSeq[String](0)
+    assert(pairs === Seq("a a", "a a", "a b", "b a", "a a"))
+    // greedy left-to-right: "a a a" -> ["aa","a"], the run after b merges too
+    val merged = df.select(GraftFunctions.bpe_merge(col("s"), "a", "a"))
+      .head.getSeq[String](0)
+    assert(merged === Seq("aa", "a", "b", "aa"))
+    // under-2 arrays pass through and produce no pairs
+    val tiny = Seq(Seq("x"), Seq.empty[String]).toDF("s")
+    assert(tiny.select(GraftFunctions.word_pairs(col("s")))
+      .collect().map(_.getSeq[String](0).size).toSeq === Seq(0, 0))
+    assert(tiny.select(GraftFunctions.bpe_merge(col("s"), "x", "y"))
+      .collect().map(_.getSeq[String](0).toList).toSeq === Seq(List("x"), Nil))
+  }
+}
