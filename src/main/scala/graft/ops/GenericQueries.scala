@@ -589,6 +589,52 @@ object GenericQueries {
             col("purchase_ts").isNotNull.cast("int")).as("steps"))
         .orderBy("user_id")
     },
+    // cohort retention: users bucketed by first-seen week, per
+    // (cohort, activity-week) distinct-active counts — the product-
+    // analytics companion to q_funnel. Plan shape: one agg for first-seen
+    // (shuffle on user), one equi-join back (the O(users) cohort frame —
+    // AQE broadcasts when small, stays a shuffle join at 10^9 users),
+    // distinct on (user, cohort, wk) then an O(weeks²) count agg —
+    // exact distinct via partial-agg, never count(distinct) through a
+    // single reducer. week_no is integer day-diff floor-division. The
+    // synthetic fixture has every user active from week one (a single
+    // cohort), so each user's stream is staggered by (user_id % 8) weeks
+    // — deterministic, identical in both engines (the FIXTURES.md
+    // planting convention) — giving 8 real cohorts with drop-off tails.
+    "q_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_add(to_date(date_trunc("week", col("ts"))),
+            ((col("user_id") % 8) * 7).cast("int")).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, Seq("user_id")).distinct()
+        .groupBy(col("cohort"), col("wk"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(col("cohort"), col("wk"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_no"),
+          col("n_active"))
+        .orderBy("cohort", "wk")
+    },
+    // threshold alerting over the gap-filled hourly error series: flag
+    // hours whose count exceeds 2x the trailing-3h mean — the monitoring
+    // rule a log pipeline's metrics feed exists for. Integer-only
+    // comparison (n * trail_n > 2 * trail_sum) so the oracle never
+    // compares derived floats; the trailing frame is ROWS-bounded over
+    // the calendar-bounded hourly frame (O(hours) rows at any corpus
+    // scale — the window's single-partition stage touches metadata, the
+    // corpus pass is the one groupBy).
+    "q_alerts" -> { (s, dir) =>
+      val w = Window.orderBy(col("h")).rowsBetween(-3, -1)
+      t(s, dir, "events").filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("trail_n", count(col("n")).over(w))
+        .select(col("h"), col("n"), col("trail_sum"), col("trail_n"),
+          (col("trail_n") > 0 &&
+            col("n") * col("trail_n") > col("trail_sum") * 2).as("alert"))
+        .orderBy("h")
+    },
     // co-located bucketed join: both sides stored CLUSTERED BY the join
     // key into the same bucket count, so the join plan has ZERO exchanges
     // — the storage-layout answer to the fact/dim shuffle at 100 TB
@@ -878,6 +924,29 @@ object GenericQueries {
          FROM v LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE)
+               + CAST((user_id % 8) * 7 AS INT) AS wk
+             FROM events),
+         fs AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+         act AS (SELECT DISTINCT ev.user_id, fs.cohort, ev.wk
+             FROM ev JOIN fs ON ev.user_id = fs.user_id)
+         SELECT cohort, wk,
+           CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_no,
+           count(*) AS n_active
+         FROM act GROUP BY cohort, wk ORDER BY cohort, wk""",
+    "q_alerts" ->
+      """WITH err AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+             FROM events WHERE event_type = 'error' GROUP BY 1)
+         SELECT h, n,
+           CAST(COALESCE(sum(n) OVER w, 0) AS BIGINT) AS trail_sum,
+           CAST(count(n) OVER w AS BIGINT) AS trail_n,
+           (count(n) OVER w > 0 AND
+            n * count(n) OVER w > COALESCE(sum(n) OVER w, 0) * 2) AS alert
+         FROM err
+         WINDOW w AS (ORDER BY h ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         ORDER BY h""",
     // the bucketed layout is a plan property, not a result property —
     // the oracle is the plain join
     "q_join_bucketed" ->

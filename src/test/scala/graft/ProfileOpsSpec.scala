@@ -224,6 +224,50 @@ class ProfileOpsSpec extends SparkSpec {
       base.exists(_._1 % 10 == 3))
   }
 
+  test("q_retention / q_alerts: match plain-Scala recomputations") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // retention: stagger by (user_id % 8) weeks, cohort = min week
+    def week(us: Long): Long = { // Monday-truncated epoch days
+      val d = us / 86400000000L // epoch day (ts are all post-1970)
+      d - ((d + 3) % 7) // 1970-01-01 was a Thursday
+    }
+    val staggered = ev.map { case (u, _, us) => (u, week(us) + (u % 8) * 7) }
+    val cohort = staggered.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val expRet = staggered.distinct
+      .map { case (u, wk) => (cohort(u), wk) }
+      .groupBy(identity).map { case ((co, wk), xs) =>
+        (co, wk, (wk - co) / 7, xs.size.toLong) }.toSet
+    val gotRet = graft.ops.GenericQueries.queries("q_retention")(spark, sf("0.001"))
+      .select(col("cohort").cast("timestamp"), col("wk").cast("timestamp"),
+        col("week_no"), col("n_active"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 86400000L,
+        r.getTimestamp(1).getTime / 86400000L, r.getLong(2), r.getLong(3))).toSet
+    assert(gotRet === expRet)
+    assert(gotRet.map(_._1).size == 8) // the stagger makes 8 real cohorts
+
+    // alerts: trailing-3h integer threshold over the hourly error series
+    val hourly = ev.filter(_._2 == "error").map(_._3 / 3600000000L)
+      .groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+      .toSeq.sortBy(_._1)
+    val expAlert = hourly.zipWithIndex.map { case ((h, n), i) =>
+      val trail = hourly.slice(math.max(0, i - 3), i).map(_._2)
+      (h, n, trail.sum, trail.size.toLong,
+        trail.nonEmpty && n * trail.size > trail.sum * 2)
+    }.toSet
+    val gotAlert = graft.ops.GenericQueries.queries("q_alerts")(spark, sf("0.001"))
+      .select(unix_micros(col("h").cast("timestamp")), col("n"),
+        col("trail_sum"), col("trail_n"), col("alert"))
+      .collect().map(r => (r.getLong(0) / 3600000000L, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(gotAlert === expAlert)
+    assert(gotAlert.exists(_._5) && gotAlert.exists(!_._5)) // both branches real
+  }
+
   test("text_lm_score: matches a plain-Scala bigram-familiarity recomputation") {
     val d = docsLocal
     val inst = d.flatMap { case (id, text) =>
