@@ -505,7 +505,12 @@ object GenericQueries {
         .when(col("event_id") % 4 === 1,
           concat(lit("warm_"), (col("event_id") % 40).cast("string")))
         .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+      // sf0.1 events.parquet is ONE 2 MB file — a shuffle-free pass is as
+      // wide as its splits (the pipe_lumberjack lesson), so spread the
+      // sketch pass; at real scale the input has thousands of splits and
+      // this repartition disappears
       val keyed = t(s, dir, "events").select(key.as("k"))
+        .repartition(s.sparkContext.defaultParallelism)
       val sketch = keyed.as[String]
         .select(graft.functions.MisraGriesAgg.toColumn.name("cand"))
       val cands = sketch.select(explode(map_keys(col("cand"))).as("k"))

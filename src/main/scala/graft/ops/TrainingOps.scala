@@ -127,6 +127,60 @@ object TrainingOps {
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneRe = "\\b555-\\d{4}\\b"
 
+  /** BPE training: one distributed corpus pass -> O(vocab) word counts on
+    * the driver -> greedy merge loop (count desc, pair asc argmax;
+    * left-to-right application, exactly [[graft.functions.BpeMerge]]'s
+    * semantics). Memoized per (session, dir) so text_bpe_train and
+    * text_bpe_apply share one training run. Returns
+    * (rank, left, right, weighted pair count) for the first 8 merges.
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val wc = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val seqs = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+      wc.foreach { case (w, c) => seqs += ((w.split("").filter(_.nonEmpty), c)) }
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var rank = 1
+      var exhausted = false
+      while (rank <= 8 && !exhausted) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        seqs.foreach { case (a, c) =>
+          var i = 0
+          while (i < a.length - 1) {
+            val k = (a(i), a(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + c
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, s"$l $r") }
+          merges += ((rank, l, r, c))
+          var i = 0
+          while (i < seqs.length) {
+            val (a, cnt) = seqs(i)
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            var j = 0
+            while (j < a.length) {
+              if (j < a.length - 1 && a(j) == l && a(j + 1) == r) {
+                buf += (l + r); j += 2
+              } else { buf += a(j); j += 1 }
+            }
+            seqs(i) = (buf.toArray, cnt)
+            i += 1
+          }
+          rank += 1
+        }
+      }
+      merges.toSeq
+    })
+
   /** Per-doc distinct-shingle ARRAY frame, persisted once per session: the
     * plan is identical across every dedup query, so Spark's CacheManager
     * dedups repeat persist() calls to ONE cache entry (no per-query leak),
@@ -905,51 +959,51 @@ object TrainingOps {
     },
     // BPE vocabulary training — learn the first 8 byte-pair merges from
     // the corpus (the tokenizer-training step of a data pipeline). The
-    // scale shape is the whole point: ONE corpus pass builds the
-    // word-count frame, then every iteration runs over that O(vocab)
-    // aggregated frame only — count adjacent symbol pairs weighted by
-    // word frequency (native codegen'd word_pairs kernel), take the
-    // argmax under a total order (count desc, pair asc — deterministic),
-    // bake the merge in as one more chained codegen'd BpeMerge literal
-    // expression. The driver holds exactly one row per iteration (the
-    // argmax), like ivfLloyd's centroid table — never row data. Not
-    // SQL-expressible (iterative argmax): rows-only check + BpeSpec's
-    // plain-Scala recompute pin.
+    // scale-bound part is ONE distributed corpus pass building the
+    // word-count frame; the merge loop then runs driver-side over the
+    // collected O(vocab) table — the ivfLloyd precedent (centroids are
+    // also O(model) driver state), and what every production BPE trainer
+    // does: vocab fits memory long after the corpus doesn't. (Escalation
+    // if vocab ever outgrows the driver: keep the loop as per-iteration
+    // word_pairs aggregations over the cached vocab frame — same
+    // semantics, k small jobs.) Argmax under a total order (count desc,
+    // pair asc) and greedy left-to-right application — deterministic.
+    // Not SQL-expressible (iterative argmax): rows-only check +
+    // BpeSpec's plain-Scala recompute pin.
     "text_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      bpeTrain(s, dir)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    },
+    // BPE application — segment every corpus word with the learned
+    // merges: the production tokenize step, and the per-row HOT path the
+    // trainer's driver loop is not. The 8 learned merges are baked into
+    // one chained codegen'd BpeMerge projection (literal pairs, zero
+    // lookups), one linear pass + one per-doc partial agg; n_segments <=
+    // n_chars strictly shrinking with each merge the corpus actually
+    // uses. Rows-only (greedy merge application is not SQL-expressible);
+    // BpeSpec pins it against the plain-Scala segmenter.
+    "text_bpe_apply" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
-      val wc = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("word"))
+      var segCol: Column = array_remove(split(col("word"), ""), "")
+      bpeTrain(s, dir).foreach { case (_, l, r, _) =>
+        segCol = GraftFunctions.bpe_merge(segCol, l, r)
+      }
+      val per = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-        .persist()
-      try {
-        // seed symbols: the word's characters (split keeps no empties
-        // after array_remove; words are whitespace-free by construction)
-        var seqCol: Column = array_remove(split(col("word"), ""), "")
-        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-        var rank = 1
-        var exhausted = false
-        while (rank <= 8 && !exhausted) {
-          val top = wc.select(col("wcnt"),
-              explode(GraftFunctions.word_pairs(seqCol)).as("p"))
-            .groupBy(col("p")).agg(sum(col("wcnt")).as("c"))
-            .orderBy(col("c").desc, col("p").asc)
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val pair = top(0).getString(0)
-            val cnt = top(0).getLong(1)
-            val Array(l, r) = pair.split(" ", 2)
-            merges += ((rank, l, r, cnt))
-            seqCol = GraftFunctions.bpe_merge(seqCol, l, r)
-            rank += 1
-          }
-        }
-        import s.implicits._
-        merges.toSeq
-          .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-          .orderBy("merge_rank")
-      } finally { wc.unpersist(); () }
+        .select(col("doc_id"), length(col("word")).cast("long").as("nchr"),
+          size(segCol).cast("long").as("nseg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nchr")).as("n_chars_tok"),
+          sum(col("nseg")).as("n_segments"))
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars_tok"), lit(0L)).as("n_chars_tok"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"))
+        .orderBy("doc_id")
     },
     // ---- deduplication ----
     "dedup_exact" -> { (s, dir) =>

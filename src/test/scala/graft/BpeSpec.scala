@@ -57,6 +57,29 @@ class BpeSpec extends SparkSpec {
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("text_bpe_apply: matches a plain-Scala segmentation with the learned merges") {
+    val merges = graft.ops.TrainingOps.queries("text_bpe_train")(spark, sf("0.001"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val d = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = d.map { case (id, text) =>
+      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val segs = words.map { w =>
+        var a = w.split("").filter(_.nonEmpty)
+        merges.foreach { case (l, r) => a = applyMerge(a, l, r) }
+        a.length.toLong
+      }
+      (id, words.length.toLong, words.map(_.length.toLong).sum, segs.sum)
+    }.toSet
+    val got = graft.ops.TrainingOps.queries("text_bpe_apply")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // the merges genuinely compress: every doc with words shrinks
+    assert(got.filter(_._2 > 0).forall(g => g._4 < g._3))
+  }
+
   test("word_pairs and bpe_merge kernel semantics") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
