@@ -73,4 +73,39 @@ class MisraGriesSpec extends SparkSpec {
       assert(expected.keySet.subsetOf(cand.keySet))
     }
   }
+
+  test("property: MG bound holds on arbitrary Zipf-ish streams and chunkings") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // streams with a planted heavy head plus a random tail, random chunking
+    val stream = for {
+      n <- Gen.choose(200, 2000)
+      headShare <- Gen.choose(2, 6) // head key gets ~n/headShare
+      tailCard <- Gen.choose(10, 400)
+      chunk <- Gen.choose(7, 97)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq.tabulate(n) { i =>
+        if (i % headShare == 0) "head" else s"t${rnd.nextInt(tailCard)}"
+      }
+      (rnd.shuffle(keys), chunk)
+    }
+    val prop = forAll(stream) { case (keys, chunk) =>
+      val n = keys.length.toLong
+      val exact = keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+      val summary = keys.grouped(chunk)
+        .map(_.foldLeft(MisraGriesAgg.zero)(MisraGriesAgg.reduce))
+        .reduce(MisraGriesAgg.merge)
+      val bound = n / (MisraGriesAgg.Capacity + 1)
+      summary.size <= MisraGriesAgg.Capacity &&
+        exact.filter(_._2 > bound).keySet.subsetOf(summary.keySet) &&
+        summary.forall { case (k, est) =>
+          val truth = exact.getOrElse(k, 0L)
+          est <= truth && truth - est <= bound
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
