@@ -594,6 +594,41 @@ object GenericQueries {
             col("purchase_ts").isNotNull.cast("int")).as("steps"))
         .orderBy("user_id")
     },
+    // SCD-2 history build — the other consumer of a change log next to
+    // q_cdc_upsert's compaction: per key, each surviving version becomes
+    // a validity interval [valid_from, valid_to), closed by the NEXT
+    // change of that key (including delete tombstones, which close the
+    // last record without emitting one; the open current record has
+    // valid_to null). One window (lead over the O(batch) change log
+    // partitioned by key) + one filter — no join at all; the base
+    // snapshot never participates, so the plan is O(batch) at any
+    // dimension size. Same deterministically derived change batch as
+    // q_cdc_upsert (FIXTURES.md).
+    "q_scd2" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("key"))
+      val k = col("key")
+      // deleted keys get a v1 update BEFORE the v2 tombstone so the
+      // "delete closes the open record" branch is genuinely exercised
+      val changes =
+        base.filter(k % 10 === 0).select(k.as("key"), lit("U").as("op"),
+            lit(1L).as("version"), lit("U1").as("status"))
+          .union(base.filter(k % 20 === 0).select(k, lit("U"), lit(2L),
+            lit("U2")))
+          .union(base.filter(k % 10 === 5).select(k, lit("U"), lit(1L),
+            lit("U1")))
+          .union(base.filter(k % 10 === 5).select(k, lit("D"), lit(2L),
+            lit(null).cast("string")))
+          .union(base.filter(k % 10 === 3).select((k + 50000000L).as("key"),
+            lit("I"), lit(1L), lit("NEW")))
+      val w = Window.partitionBy(col("key")).orderBy(col("version"), col("op"))
+      changes.withColumn("valid_to", lead(col("version"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("key"), col("op"), col("status"),
+          col("version").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("key", "valid_from")
+    },
     // cohort retention: users bucketed by first-seen week, per
     // (cohort, activity-week) distinct-active counts — the product-
     // analytics companion to q_funnel. Plan shape: one agg for first-seen
@@ -929,6 +964,25 @@ object GenericQueries {
          FROM v LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+    "q_scd2" ->
+      """WITH base AS (SELECT o_orderkey AS key FROM orders),
+         chg AS (
+           SELECT key, 'U' AS op, CAST(1 AS BIGINT) AS version,
+             'U1' AS status FROM base WHERE key % 10 = 0
+           UNION ALL SELECT key, 'U', 2, 'U2' FROM base WHERE key % 20 = 0
+           UNION ALL SELECT key, 'U', 1, 'U1' FROM base WHERE key % 10 = 5
+           UNION ALL SELECT key, 'D', 2, NULL FROM base WHERE key % 10 = 5
+           UNION ALL SELECT key + 50000000, 'I', 1, 'NEW'
+           FROM base WHERE key % 10 = 3)
+         SELECT key, op, status, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM (
+           SELECT key, op, status, version AS valid_from,
+             lead(version) OVER (PARTITION BY key ORDER BY version, op)
+               AS valid_to
+           FROM chg)
+         WHERE op <> 'D'
+         ORDER BY key, valid_from""",
     "q_retention" ->
       """WITH ev AS (SELECT user_id,
              CAST(date_trunc('week', ts) AS DATE)

@@ -224,6 +224,35 @@ class ProfileOpsSpec extends SparkSpec {
       base.exists(_._1 % 10 == 3))
   }
 
+  test("q_scd2: interval chaining, tombstone closure, and open records") {
+    val rows = graft.ops.GenericQueries.queries("q_scd2")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5)))
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_._4)
+      // intervals chain: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"gap at key $k")
+        case _ =>
+      }
+      if (k % 10 == 5) { // tombstone closes the last record, none current
+        assert(sorted.map(_._2).toSeq == Seq("U"))
+        assert(sorted.last._5.contains(2L) && !sorted.exists(_._6))
+      } else assert(sorted.last._5.isEmpty && sorted.last._6) // open current
+      if (k % 20 == 0) // two-version keys carry the full history
+        assert(sorted.map(r => (r._3, r._4, r._5)).toSeq ==
+          Seq(("U1", 1L, Some(2L)), ("U2", 2L, None)))
+      if (k >= 50000000L) assert(sorted.map(_._2).toSeq == Seq("I"))
+    }
+    // every branch class occurred
+    assert(byKey.keys.exists(_ % 10 == 5) &&
+      byKey.keys.exists(k => k % 20 == 0 && k < 50000000L) &&
+      byKey.keys.exists(_ >= 50000000L))
+  }
+
   test("q_retention / q_alerts: match plain-Scala recomputations") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val ev = spark.read.parquet(sf("0.001") + "/events.parquet")
