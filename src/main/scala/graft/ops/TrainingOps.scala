@@ -96,6 +96,19 @@ object TrainingOps {
   val SubstrFooter =
     "this footer text is shared verbatim across all mirrored documents"
 
+  /** Session-lifecycle-safe memo key (ADVICE r5): a UUID held in a WEAK
+    * map on the session object — identityHashCode can be reused after a
+    * session is GC'd (stale memo hits for a new session), while a weak key
+    * dies with the session it identifies. (Spark's own sessionUUID is
+    * private[sql].)
+    */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private[ops] def sessionKey(s: SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -134,10 +147,13 @@ object TrainingOps {
     * text_bpe_apply share one training run. Returns
     * (rank, left, right, weighted pair count) for the first 8 merges.
     */
+  // memo keyed on sessionUUID, not identityHashCode (ADVICE r5: identity
+  // hashes can be reused after a session is GC'd — stale merges for a new
+  // session); cleared by releaseCaches with the data caches
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+    .empty[(String, String), Seq[(Int, String, String, Long)]]
   private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    bpeMemo.getOrElseUpdate((sessionKey(s), dir), {
       val wc = docs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
@@ -214,6 +230,9 @@ object TrainingOps {
         .filter(col("df") > ShingleFreqCap).select("s").unpersist()
     }
     capBindsMemo.clear()
+    clustersMemo.remove((sessionKey(s), dir)).foreach(_.unpersist())
+    ivfLloydMemo.clear()
+    bpeMemo.remove((sessionKey(s), dir))
     simhashSigs(s, dir).unpersist()
     keywordTf(s, dir).unpersist()
     dsh.unpersist()
@@ -326,6 +345,22 @@ object TrainingOps {
     centroidTable(update(ivfAssign(cand, t1)))
   }
 
+  /** The Lloyd chain is deterministic and bit-stable (DECIMAL-sum
+    * averaging), and THREE queries need its centroid table in a suite pass
+    * (ann_ivf's inline plan, ann_ivf_build, and serve's build-if-absent
+    * path) — each re-running the full 2-iteration chain re-scanned the
+    * candidates ~6x per session for identical O(cells·dim) driver-side
+    * metadata (model-class state, the bpeMemo precedent). Memoized per
+    * (sessionUUID, dir, cells); cleared by releaseCaches, so every fresh
+    * session/run still computes from the parquet inputs.
+    */
+  private val ivfLloydMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Seq[Seq[Float]]]
+  private def ivfLloydCached(s: SparkSession, dir: String, cand: DataFrame,
+      cells: Int): Seq[Seq[Float]] =
+    ivfLloydMemo.getOrElseUpdate((sessionKey(s), dir, cells),
+      ivfLloyd(cand, cells))
+
   /** LocalRelation form of a centroid table (non-empty cells only). */
   private def ivfCentsFrame(s: SparkSession, slots: Seq[Seq[Float]]): DataFrame = {
     import s.implicits._
@@ -365,7 +400,7 @@ object TrainingOps {
     */
   def annIvf(s: SparkSession, dir: String, cells: Int, probes: Int): DataFrame = {
     val (q, cand) = ivfInputs(s, dir)
-    val slots = ivfLloyd(cand, cells)
+    val slots = ivfLloydCached(s, dir, cand, cells)
     ivfProbeRerank(q, ivfAssign(cand, slots), ivfCentsFrame(s, slots), probes)
   }
 
@@ -413,7 +448,7 @@ object TrainingOps {
   def buildIvfIndex(s: SparkSession, dir: String, cells: Int,
       fmt: TableFormat = ParquetFormat): DataFrame = {
     val (_, cand) = ivfInputs(s, dir)
-    val slots = ivfLloyd(cand, cells)
+    val slots = ivfLloydCached(s, dir, cand, cells)
     val idx = ivfIndexDir(s, dir)
     val tmp = idx + ".build-" + java.util.UUID.randomUUID().toString.take(8)
     fmt.overwritePartitions(ivfAssign(cand, slots), s"$tmp/assignments", Seq.empty)
@@ -644,9 +679,20 @@ object TrainingOps {
     * to one kept document. keep = (doc == smallest doc_id in its
     * component); only docs that appear in some dup pair are emitted.
     */
+  /** The fixpoint loop runs EAGERLY at plan-build time (per-round count
+    * jobs), and TWO queries consume the labels in a suite pass
+    * (dedup_clusters itself and text_curate's loser anti-join) — without
+    * the memo each invocation re-ran the whole label-propagation loop and
+    * left its final persisted labels frame stranded. One memoized persisted
+    * frame (O(dup docs) rows — pair-metadata class) per (sessionUUID, dir),
+    * released by releaseCaches.
+    */
+  private val clustersMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib")))
+    clustersMemo.getOrElseUpdate((sessionKey(s), dir),
+      connectedComponents(
+        dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib"))))
       .select(col("v").as("doc_id"), col("l").as("cluster"),
         (col("v") === col("l")).as("keep"))
       .orderBy("doc_id")

@@ -309,7 +309,15 @@ object PipelineQueries {
     },
     "pipe_e2e_counts" -> { (s, dir) =>
       reg(s)
+      // the aggregate needs sink+format for EVERY row, so count() cannot
+      // prune the parse (unlike pipe_e2e_routed) — and the events table is
+      // ONE 2 MB file, so the shuffle-free parse stage ran on a single
+      // split (the pipe_lumberjack lesson: a shuffle-free job is as wide
+      // as its input splits). One cheap shuffle of the tiny envelope
+      // spreads the regex-heavy parse cluster-wide; at real scale the
+      // input has abundant splits and needs none.
       val t = Transcripts.transcripts(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       val routed = Pipeline.transform(t, e2eConfig, Enrich.defaultLookup(s))
       Router.sinkAggregates(routed).orderBy("sink", "format")
     },
@@ -332,7 +340,12 @@ object PipelineQueries {
         .when(v === 7, concat(lit("{\"k\": \""), col("event_type")))
         .when(v === 9, lit("\u0007\u001b[2Jboom"))
         .otherwise(repeat(lit("="), 2000))
-      val env = Transcripts.fromEvents(Transcripts.events(s, dir),
+      // single-split input + the suite's most expensive per-row work (the
+      // 5k single-token and 2k '='-run probe lines drag every format's
+      // gate regex linearly): spread the probe 32-wide before the parse —
+      // same repartition rationale as pipe_e2e_counts
+      val env = Transcripts.fromEvents(
+        Transcripts.events(s, dir).repartition(s.sparkContext.defaultParallelism),
         Some(when(k % 2 === 1, fuzz).otherwise(Transcripts.miniLine)))
       Pipeline.transform(env, e2eConfig, Enrich.defaultLookup(s))
         .groupBy("sink", "format").agg(count(lit(1)).as("n"))
@@ -345,14 +358,19 @@ object PipelineQueries {
     // determinism are pinned by AggSpec.
     "pipe_conv_fingerprint" -> { (s, dir) =>
       reg(s)
-      import s.implicits._
+      // same partial-mergeable SimHash aggregator, driven through the
+      // UNTYPED udaf surface: the groupByKey/mapValues typed pipeline
+      // deserialized every row to Scala objects before the partial agg
+      // (AggSpec pins the aggregator's semantics either way). The
+      // repartition spreads the tokenize+64-bit-vote kernel off the one
+      // 2 MB events split (pipe_lumberjack rationale).
+      val fpAgg = udaf(graft.functions.SimHashAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
       Transcripts.transcripts(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("conv_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-        .as[(String, Seq[String])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(graft.functions.SimHashAgg.toColumn.name("fp"))
-        .toDF("conv_id", "fp")
+        .groupBy(col("conv_id"))
+        .agg(fpAgg(col("toks")).as("fp"))
         .orderBy("conv_id")
     },
     // Structured Streaming driver gate: the SAME transform as a file-source

@@ -75,6 +75,31 @@ object StreamingPipeline {
       }
   }
 
+  /** Start `build()` with spark.sql.shuffle.partitions narrowed to
+    * [[NarrowStateWidth]] for the stream's own checkpoint, then restore the
+    * session value. Every driver-gated stream here holds manifest-class
+    * state (O(hours x sinks) windows / O(convs) progress rows / O(batch)
+    * dedup keys), yet the stateful shuffle width is captured into the
+    * checkpoint at start — at the bench session's 32 partitions each gate
+    * paid 32 state-store provider inits + commits (plus 32-task stateful
+    * stages) per micro-batch for a handful of state rows. 4 partitions is
+    * plenty for the state (the PARSE width is unaffected: the pre-shuffle
+    * file-source stage is split-bound, not shuffle-bound). The append gate
+    * measured 5.5 s -> ~2 s from this narrowing in r5; this round applies
+    * the same width to the other three gates. At production state sizes
+    * the width is the config the operator sizes to state volume, not the
+    * batch shuffle width.
+    */
+  private val NarrowStateWidth = "4"
+  private def startNarrow(spark: SparkSession)(
+      build: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", NarrowStateWidth)
+    try build()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
   /** Run the mapGroupsWithState conversation-progress stream to completion
     * over the files currently in inputDir (Update mode: each micro-batch
     * emits the conversations it touched with their CUMULATIVE state, so the
@@ -85,13 +110,15 @@ object StreamingPipeline {
       queryName: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft_ckpt").toString
-    val q = conversationProgress(routedStream(spark, inputDir, cfg))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Update)
-      .start()
+    val q = startNarrow(spark) { () =>
+      conversationProgress(routedStream(spark, inputDir, cfg))
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update)
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -115,14 +142,16 @@ object StreamingPipeline {
       queryName: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft_ckpt").toString
-    val q = routedStream(spark, inputDir, cfg, maxFilesPerTrigger = 10000)
-      .dropDuplicates("conv_id", "turn_idx")
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append)
-      .start()
+    val q = startNarrow(spark) { () =>
+      routedStream(spark, inputDir, cfg, maxFilesPerTrigger = 10000)
+        .dropDuplicates("conv_id", "turn_idx")
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -144,14 +173,16 @@ object StreamingPipeline {
     // partition RELOAD its state store from the checkpoint (measured
     // loadTimeMs up to ~6 s/partition on this host — 3.4 s -> 40+ s per
     // run); cross-batch behavior is the progress stream's job
-    val q = windowedSinkCounts(
-        routedStream(spark, inputDir, cfg, maxFilesPerTrigger = 10000))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Complete)
-      .start()
+    val q = startNarrow(spark) { () =>
+      windowedSinkCounts(
+          routedStream(spark, inputDir, cfg, maxFilesPerTrigger = 10000))
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete)
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -174,17 +205,13 @@ object StreamingPipeline {
       cfg: PipelineConfig, queryName: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft_ckpt").toString
-    // narrow the state width for THIS query: the gate is 2 batches by
+    // narrow state width via startNarrow: the gate is 2 batches by
     // construction, and batch 2 reloads every state-store provider from
     // the checkpoint at a per-PARTITION fixed cost (the measured
     // multi-second hazard) — the windowed aggregate holds only
     // O(hours x sinks) rows, so 4 partitions is plenty and cuts the
-    // reload tax 8x (measured 5.5 s -> ~2 s at sf0.1). The width is
-    // captured into the query's own checkpoint at start; the session
-    // value is restored for everything after.
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
+    // reload tax 8x (measured 5.5 s -> ~2 s at sf0.1).
+    val q = startNarrow(spark) { () =>
       windowedSinkCounts(
           routedStream(spark, inputDir, cfg, maxFilesPerTrigger = 8))
         .writeStream
@@ -193,7 +220,7 @@ object StreamingPipeline {
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append)
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
     q.processAllAvailable()
     q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
