@@ -18,7 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WordPairs(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the CHILD's array type (ADVICE r5): the kernel
+  // propagates elements verbatim, so declaring a null-free output over a
+  // nullable-element input would let codegen elide null checks downstream
+  // and corrupt/NPE on the first null element
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -66,7 +73,11 @@ object WordPairs {
 case class BpeMerge(child: Expression, left: String, right: String)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the child (ADVICE r5) — see WordPairs.dataType
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -516,8 +516,11 @@ object GenericQueries {
     // n/65, so nothing above the n/16 threshold is ever missed; the
     // output is exact counts — deterministic even though the intermediate
     // sketch depends on merge order. Skew is PLANTED deterministically
-    // (the FIXTURES.md convention): 3 hot keys at ~n/12 (pass), 40 warm
-    // at ~n/160 (must be excluded), ~n/2 cold singletons (sketch noise).
+    // (the FIXTURES.md convention): 3 hot keys at ~n/12 (pass), 10 warm
+    // keys at ~n/40 (event_id % 4 == 1 restricts event_id % 40 to 10
+    // residues; must be excluded — margin 2.5x below the n/16 bar),
+    // ~n/2 cold singletons (sketch noise). (ADVICE r5: the old comment
+    // claimed 40 warm keys at ~n/160.)
     "q_heavy_hitters" -> { (s, dir) =>
       import s.implicits._
       val key = when(col("event_id") % 4 === 0,
@@ -530,15 +533,20 @@ object GenericQueries {
       // sketch pass; at real scale the input has thousands of splits and
       // this repartition disappears
       val keyed = t(s, dir, "events").select(key.as("k"))
-        .repartition(s.sparkContext.defaultParallelism)
       // TWO corpus passes, not three (VERDICT r5 #3): the exact total row
       // count rides the SKETCH pass as an Observation (the MG aggregator
       // sees every row anyway), so pass 1 yields candidates + n in one
       // scan, and pass 2 exact-counts only the O(capacity) candidate set.
       // The collected sketch row is O(capacity) driver metadata — the same
-      // bytes the broadcast of the candidate frame shipped before.
+      // bytes the broadcast of the candidate frame shipped before. Only
+      // the sketch pass repartitions (its per-row MG update is the
+      // expensive kernel); pass 2 is an InSet probe + partial agg over at
+      // most Capacity groups — spreading it would cost a 100%-of-rows
+      // shuffle to save per-row work that map-side combine already makes
+      // trivial.
       val obs = org.apache.spark.sql.Observation()
-      val candRow = keyed.observe(obs, count(lit(1)).as("n")).as[String]
+      val candRow = keyed.repartition(s.sparkContext.defaultParallelism)
+        .observe(obs, count(lit(1)).as("n")).as[String]
         .select(graft.functions.MisraGriesAgg.toColumn.name("cand"))
         .collect()
       val cands = candRow.headOption.map(_.keys.toSeq).getOrElse(Seq.empty)
@@ -566,16 +574,27 @@ object GenericQueries {
         col("o_orderstatus").as("status"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       val k = col("key")
-      val changes =
-        base.filter(k % 10 === 0).select(k.as("key"), lit("U").as("op"),
+      // ONE scan derives the whole change batch: the union-of-filters form
+      // re-scanned orders once per change class (4 FileScans in the plan);
+      // per-row WHEN guards into an exploded struct array emit the same
+      // multiset of change rows from a single pass (keys divisible by 20
+      // still yield both U1 and U2 — conditions are evaluated per slot).
+      val changes = base.select(explode(array(
+          when(k % 10 === 0, struct(k.as("key"), lit("U").as("op"),
             lit(1L).as("version"), lit("U1").as("new_status"),
-            lit(null).cast("long").as("new_cents"))
-          .union(base.filter(k % 20 === 0).select(k, lit("U"), lit(2L),
-            lit("U2"), lit(null).cast("long")))
-          .union(base.filter(k % 10 === 5).select(k, lit("D"), lit(1L),
-            lit(null).cast("string"), lit(null).cast("long")))
-          .union(base.filter(k % 10 === 3).select((k + 50000000L).as("key"),
-            lit("I"), lit(1L), lit("NEW"), lit(0L)))
+            lit(null).cast("long").as("new_cents"))),
+          when(k % 20 === 0, struct(k.as("key"), lit("U").as("op"),
+            lit(2L).as("version"), lit("U2").as("new_status"),
+            lit(null).cast("long").as("new_cents"))),
+          when(k % 10 === 5, struct(k.as("key"), lit("D").as("op"),
+            lit(1L).as("version"), lit(null).cast("string").as("new_status"),
+            lit(null).cast("long").as("new_cents"))),
+          when(k % 10 === 3, struct((k + 50000000L).as("key"),
+            lit("I").as("op"), lit(1L).as("version"), lit("NEW").as("new_status"),
+            lit(0L).as("new_cents"))))).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("c.key"), col("c.op"), col("c.version"),
+          col("c.new_status"), col("c.new_cents"))
       val wv = Window.partitionBy(col("key"))
         .orderBy(col("version").desc, col("op"))
       val latest = changes.withColumn("rn", row_number().over(wv))
@@ -636,18 +655,24 @@ object GenericQueries {
         col("o_orderkey").cast("long").as("key"))
       val k = col("key")
       // deleted keys get a v1 update BEFORE the v2 tombstone so the
-      // "delete closes the open record" branch is genuinely exercised
-      val changes =
-        base.filter(k % 10 === 0).select(k.as("key"), lit("U").as("op"),
-            lit(1L).as("version"), lit("U1").as("status"))
-          .union(base.filter(k % 20 === 0).select(k, lit("U"), lit(2L),
-            lit("U2")))
-          .union(base.filter(k % 10 === 5).select(k, lit("U"), lit(1L),
-            lit("U1")))
-          .union(base.filter(k % 10 === 5).select(k, lit("D"), lit(2L),
-            lit(null).cast("string")))
-          .union(base.filter(k % 10 === 3).select((k + 50000000L).as("key"),
-            lit("I"), lit(1L), lit("NEW")))
+      // "delete closes the open record" branch is genuinely exercised.
+      // ONE scan via per-row WHEN guards + explode (the q_cdc_upsert
+      // rationale: the union form re-scanned orders once per change class
+      // — 5 FileScans for one O(batch) frame).
+      val changes = base.select(explode(array(
+          when(k % 10 === 0, struct(k.as("key"), lit("U").as("op"),
+            lit(1L).as("version"), lit("U1").as("status"))),
+          when(k % 20 === 0, struct(k.as("key"), lit("U").as("op"),
+            lit(2L).as("version"), lit("U2").as("status"))),
+          when(k % 10 === 5, struct(k.as("key"), lit("U").as("op"),
+            lit(1L).as("version"), lit("U1").as("status"))),
+          when(k % 10 === 5, struct(k.as("key"), lit("D").as("op"),
+            lit(2L).as("version"), lit(null).cast("string").as("status"))),
+          when(k % 10 === 3, struct((k + 50000000L).as("key"),
+            lit("I").as("op"), lit(1L).as("version"), lit("NEW").as("status")))))
+          .as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("c.key"), col("c.op"), col("c.version"), col("c.status"))
       val w = Window.partitionBy(col("key")).orderBy(col("version"), col("op"))
       changes.withColumn("valid_to", lead(col("version"), 1).over(w))
         .filter(col("op") =!= "D")
@@ -682,7 +707,11 @@ object GenericQueries {
           col("n_active"))
         .orderBy("cohort", "wk")
     },
-    // threshold alerting over the gap-filled hourly error series: flag
+    // threshold alerting over the hourly error series (NON-empty hours
+    // only — the ROWS frame spans the 3 preceding hours THAT HAD ERRORS,
+    // so after a multi-hour silent gap the baseline is the pre-gap hours;
+    // oracle mirrors the same convention. True calendar-trailing-3h would
+    // join q_gapfill's generated hour axis first — ADVICE r5): flag
     // hours whose count exceeds 2x the trailing-3h mean — the monitoring
     // rule a log pipeline's metrics feed exists for. Integer-only
     // comparison (n * trail_n > 2 * trail_sum) so the oracle never

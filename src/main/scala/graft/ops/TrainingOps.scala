@@ -140,12 +140,36 @@ object TrainingOps {
   private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneRe = "\\b555-\\d{4}\\b"
 
+  /** Min corpus count for a word to enter the BPE driver-side merge loop
+    * (VERDICT r5 #1): on web-scale text the distinct-"word" domain grows
+    * with the corpus (typos, hashes, URLs — billions of keys), so an
+    * unfloored `groupBy(word).collect()` is a driver OOM waiting for
+    * 100x. Standard BPE practice: a word seen < N times contributes < N
+    * to any pair count, so sub-floor words cannot move an argmax whose
+    * winning counts are corpus-scale (BpeSpec pins floor-invariance of
+    * all 8 merges AND their counts on the fixtures, where no word is ever
+    * dropped — the fixture vocab has no sub-floor words at any SF, so the
+    * floor is a pure scale guard with bit-identical output). Env-tunable
+    * for corpora whose tail calls for a higher floor.
+    */
+  val BpeMinWordCount: Long =
+    sys.env.get("SPARK_GRAFT_BPE_MIN_COUNT").map(_.toLong).getOrElse(2L)
+
+  /** Hard bound on the collected vocabulary: a corpus whose >= floor
+    * vocabulary still exceeds this must raise the floor (or move the loop
+    * to the documented distributed escalation), not silently OOM the
+    * driver. 10M words x ~50 B is a few hundred MB — the edge of sane
+    * driver state.
+    */
+  val BpeMaxCollectedVocab: Long = 10000000L
+
   /** BPE training: one distributed corpus pass -> O(vocab) word counts on
-    * the driver -> greedy merge loop (count desc, pair asc argmax;
-    * left-to-right application, exactly [[graft.functions.BpeMerge]]'s
-    * semantics). Memoized per (session, dir) so text_bpe_train and
-    * text_bpe_apply share one training run. Returns
-    * (rank, left, right, weighted pair count) for the first 8 merges.
+    * the driver (min-count floored, size-bounded) -> greedy merge loop
+    * (count desc, pair asc argmax; left-to-right application, exactly
+    * [[graft.functions.BpeMerge]]'s semantics). Memoized per (session,
+    * dir) so text_bpe_train and text_bpe_apply share one training run.
+    * Returns (rank, left, right, weighted pair count) for the first 8
+    * merges.
     */
   // memo keyed on sessionUUID, not identityHashCode (ADVICE r5: identity
   // hashes can be reused after a session is GC'd — stale merges for a new
@@ -153,12 +177,25 @@ object TrainingOps {
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), Seq[(Int, String, String, Long)]]
   private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.getOrElseUpdate((sessionKey(s), dir), {
+    bpeTrainWithFloor(s, dir, BpeMinWordCount)
+
+  /** Floor-parameterized trainer body — package-visible so BpeSpec can pin
+    * that the floor cannot change the learned merges (floor 1 == floor
+    * [[BpeMinWordCount]] on the fixtures).
+    */
+  private[graft] def bpeTrainWithFloor(s: SparkSession, dir: String,
+      minCount: Long): Seq[(Int, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((sessionKey(s), dir + s"#f$minCount"), {
       val wc = docs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .filter(col("wcnt") >= minCount)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(wc.length <= BpeMaxCollectedVocab,
+        s"BPE vocabulary after the >= $minCount floor (${wc.length} words) " +
+          s"exceeds the driver bound $BpeMaxCollectedVocab — raise " +
+          "SPARK_GRAFT_BPE_MIN_COUNT or use the distributed escalation")
       val seqs = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
       wc.foreach { case (w, c) => seqs += ((w.split("").filter(_.nonEmpty), c)) }
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -232,7 +269,7 @@ object TrainingOps {
     capBindsMemo.clear()
     clustersMemo.remove((sessionKey(s), dir)).foreach(_.unpersist())
     ivfLloydMemo.clear()
-    bpeMemo.remove((sessionKey(s), dir))
+    bpeMemo.keys.filter(_._1 == sessionKey(s)).foreach(bpeMemo.remove)
     simhashSigs(s, dir).unpersist()
     keywordTf(s, dir).unpersist()
     dsh.unpersist()
@@ -1143,7 +1180,15 @@ object TrainingOps {
       val probed = sig.select(col("doc_id"),
         explode(GraftFunctions.simhash_probe_keys(col("sigs"), SimHashBandBits))
           .as("bk"))
-      val candidates = banded.as("x").join(probed.as("y"),
+      // probed LEFT, banded RIGHT: both explode the same cached sig frame,
+      // so the planner's size estimates tie and it builds/broadcasts the
+      // RIGHT side — with banded on the left it collected the 612-rows/doc
+      // PROBE explode (3M rows at sf0.1) into the hash relation while the
+      // 17x smaller 36-rows/doc exact side streamed (measured ~1.5 s per
+      // execution just building that relation). Keeping the exact side as
+      // the build side is also the right shuffle-join orientation at 100 TB
+      // (smaller side sorts/builds). Join output is identical.
+      val candidates = probed.as("y").join(banded.as("x"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       // Hamming prefilter over all 576 signature bits BEFORE the distinct

@@ -57,6 +57,22 @@ class BpeSpec extends SparkSpec {
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("text_bpe_train: the min-count floor cannot change the learned merges") {
+    // the driver-OOM guard (VERDICT r5 #1) drops words under
+    // BpeMinWordCount before the collect; sub-floor words contribute less
+    // than the floor to any pair count, so the corpus-scale argmax winners
+    // are invariant — pinned here as full output equality (ranks, pairs
+    // AND weighted counts) between an unfloored and the default-floored
+    // run at two SFs
+    for (sfDir <- Seq(sf("0.001"), sf("0.01"))) {
+      val unfloored = graft.ops.TrainingOps.bpeTrainWithFloor(spark, sfDir, 1L)
+      val floored = graft.ops.TrainingOps.bpeTrainWithFloor(spark, sfDir,
+        graft.ops.TrainingOps.BpeMinWordCount)
+      assert(floored === unfloored)
+      assert(floored.length == 8)
+    }
+  }
+
   test("text_bpe_apply: matches a plain-Scala segmentation with the learned merges") {
     val merges = graft.ops.TrainingOps.queries("text_bpe_train")(spark, sf("0.001"))
       .collect().map(r => (r.getString(1), r.getString(2)))
