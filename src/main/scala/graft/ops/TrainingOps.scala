@@ -267,8 +267,7 @@ object TrainingOps {
         .filter(col("df") > ShingleFreqCap).select("s").unpersist()
     }
     capBindsMemo.clear()
-    clustersMemo.remove((sessionKey(s), dir)).foreach(_.unpersist())
-    ivfLloydMemo.clear()
+    liveLabelFrames.remove(sessionKey(s)).foreach(_.foreach(_.unpersist()))
     bpeMemo.keys.filter(_._1 == sessionKey(s)).foreach(bpeMemo.remove)
     simhashSigs(s, dir).unpersist()
     keywordTf(s, dir).unpersist()
@@ -354,11 +353,19 @@ object TrainingOps {
     * `cells` candidates, 2 Lloyd iterations with DECIMAL-sum averaging) and
     * return the dense driver-side centroid table indexed by cell id
     * (O(cells·dim) — manifest-class metadata). Dead cells (all members
-    * reassigned away) become empty slots the argmin skips. Each
-    * materializing collect drives one linear codegen'd scan of the
-    * candidates — no cache entry left behind; the table IS the artifact.
+    * reassigned away) become empty slots the argmin skips. The chain's
+    * three materializing collects each drive one scan of the candidates,
+    * so the candidate frame is persisted FOR THE DURATION OF TRAINING
+    * ONLY (one parquet read + two cached scans instead of three parquet
+    * reads) and released before returning — every invocation trains from
+    * the parquet inputs; the centroid table is the only artifact.
     */
-  private def ivfLloyd(cand: DataFrame, cells: Int): Seq[Seq[Float]] = {
+  private def ivfLloyd(cand0: DataFrame, cells: Int): Seq[Seq[Float]] = {
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ivfLloydBody(cand, cells) finally cand.unpersist()
+  }
+
+  private def ivfLloydBody(cand: DataFrame, cells: Int): Seq[Seq[Float]] = {
     def centroids0: DataFrame = cand.orderBy("nid").limit(cells)
       .select((row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("nid"))) - 1).as("cell"), col("nv").as("cv"))
@@ -381,22 +388,6 @@ object TrainingOps {
     val t1 = centroidTable(update(ivfAssign(cand, centroidTable(centroids0))))
     centroidTable(update(ivfAssign(cand, t1)))
   }
-
-  /** The Lloyd chain is deterministic and bit-stable (DECIMAL-sum
-    * averaging), and THREE queries need its centroid table in a suite pass
-    * (ann_ivf's inline plan, ann_ivf_build, and serve's build-if-absent
-    * path) — each re-running the full 2-iteration chain re-scanned the
-    * candidates ~6x per session for identical O(cells·dim) driver-side
-    * metadata (model-class state, the bpeMemo precedent). Memoized per
-    * (sessionUUID, dir, cells); cleared by releaseCaches, so every fresh
-    * session/run still computes from the parquet inputs.
-    */
-  private val ivfLloydMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), Seq[Seq[Float]]]
-  private def ivfLloydCached(s: SparkSession, dir: String, cand: DataFrame,
-      cells: Int): Seq[Seq[Float]] =
-    ivfLloydMemo.getOrElseUpdate((sessionKey(s), dir, cells),
-      ivfLloyd(cand, cells))
 
   /** LocalRelation form of a centroid table (non-empty cells only). */
   private def ivfCentsFrame(s: SparkSession, slots: Seq[Seq[Float]]): DataFrame = {
@@ -437,7 +428,7 @@ object TrainingOps {
     */
   def annIvf(s: SparkSession, dir: String, cells: Int, probes: Int): DataFrame = {
     val (q, cand) = ivfInputs(s, dir)
-    val slots = ivfLloydCached(s, dir, cand, cells)
+    val slots = ivfLloyd(cand, cells)
     ivfProbeRerank(q, ivfAssign(cand, slots), ivfCentsFrame(s, slots), probes)
   }
 
@@ -485,7 +476,7 @@ object TrainingOps {
   def buildIvfIndex(s: SparkSession, dir: String, cells: Int,
       fmt: TableFormat = ParquetFormat): DataFrame = {
     val (_, cand) = ivfInputs(s, dir)
-    val slots = ivfLloydCached(s, dir, cand, cells)
+    val slots = ivfLloyd(cand, cells)
     val idx = ivfIndexDir(s, dir)
     val tmp = idx + ".build-" + java.util.UUID.randomUUID().toString.take(8)
     fmt.overwritePartitions(ivfAssign(cand, slots), s"$tmp/assignments", Seq.empty)
@@ -677,6 +668,28 @@ object TrainingOps {
     */
   private[graft] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
+    // every round persists its label frame, and a persist()'d plan is by
+    // default executed WITHOUT adaptive output repartitioning
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
+    // so each tiny fixpoint round paid a full session-width shuffle (32
+    // near-empty state tasks/job at gate scale) no matter what AQE would
+    // have coalesced it to. Enable the flag for the duration of the loop
+    // (restored after): AQE then sizes the cached rounds' shuffles from
+    // their ACTUAL bytes — one task at gate scale, the normal advisory
+    // width at production pair volumes. Scale-adaptive, not a local tune.
+    val spark = pairs.sparkSession
+    val flag = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevFlag = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try connectedComponentsLoop(pairs, maxIters)
+    finally prevFlag match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     val fwd = pairs.select(col("ia").as("src"), col("ib").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -689,9 +702,20 @@ object TrainingOps {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("v"), least(col("src"), col("mn")).as("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // convergence check: min-label propagation is monotone NON-INCREASING
+    // per vertex over a fixed vertex set, so the label sum (DECIMAL — a
+    // long sum overflows at ~1e9 docs x 1e9 ids) strictly decreases until
+    // fixpoint. One tiny aggregate on the just-persisted frame replaces
+    // the join+count change detector (which re-shuffled both label frames
+    // every round just to ask "did anything move?").
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("l").cast("decimal(38,0)"))).first.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iters = 0
-    while (changed > 0) {
+    while (changed) {
       iters += 1
       require(iters <= maxIters, s"connectedComponents: no fixpoint after $maxIters rounds")
       val viaEdge = edges
@@ -700,12 +724,13 @@ object TrainingOps {
       val next = viaEdge.unionAll(labels)
         .groupBy("v").agg(min("l").as("l"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("v"), col("l").as("prev")), "v")
-        .filter(col("l") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
     }
+    System.err.println(s"[cc] fixpoint after $iters rounds")
     edges.unpersist()
     labels
   }
@@ -716,23 +741,24 @@ object TrainingOps {
     * to one kept document. keep = (doc == smallest doc_id in its
     * component); only docs that appear in some dup pair are emitted.
     */
-  /** The fixpoint loop runs EAGERLY at plan-build time (per-round count
-    * jobs), and TWO queries consume the labels in a suite pass
-    * (dedup_clusters itself and text_curate's loser anti-join) — without
-    * the memo each invocation re-ran the whole label-propagation loop and
-    * left its final persisted labels frame stranded. One memoized persisted
-    * frame (O(dup docs) rows — pair-metadata class) per (sessionUUID, dir),
-    * released by releaseCaches.
+  /** The fixpoint loop runs EAGERLY at plan-build time (per-round sum
+    * jobs), so its final persisted labels frame outlives the call — each
+    * invocation is tracked here SOLELY so releaseCaches can unpersist it
+    * (storage bookkeeping, not a memo: every invocation recomputes the
+    * fixpoint from the pair frame).
     */
-  private val clustersMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersMemo.getOrElseUpdate((sessionKey(s), dir),
-      connectedComponents(
-        dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib"))))
+  private val liveLabelFrames = scala.collection.concurrent.TrieMap
+    .empty[String, List[DataFrame]]
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib")))
+    val k = sessionKey(s)
+    liveLabelFrames.put(k, labels :: liveLabelFrames.getOrElse(k, Nil))
+    labels
       .select(col("v").as("doc_id"), col("l").as("cluster"),
         (col("v") === col("l")).as("keep"))
       .orderBy("doc_id")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
