@@ -668,28 +668,6 @@ object TrainingOps {
     */
   private[graft] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    // every round persists its label frame, and a persist()'d plan is by
-    // default executed WITHOUT adaptive output repartitioning
-    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
-    // so each tiny fixpoint round paid a full session-width shuffle (32
-    // near-empty state tasks/job at gate scale) no matter what AQE would
-    // have coalesced it to. Enable the flag for the duration of the loop
-    // (restored after): AQE then sizes the cached rounds' shuffles from
-    // their ACTUAL bytes — one task at gate scale, the normal advisory
-    // width at production pair volumes. Scale-adaptive, not a local tune.
-    val spark = pairs.sparkSession
-    val flag = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val prevFlag = spark.conf.getOption(flag)
-    spark.conf.set(flag, "true")
-    try connectedComponentsLoop(pairs, maxIters)
-    finally prevFlag match {
-      case Some(v) => spark.conf.set(flag, v)
-      case None => spark.conf.unset(flag)
-    }
-  }
-
-  private def connectedComponentsLoop(pairs: DataFrame,
-      maxIters: Int): DataFrame = {
     val fwd = pairs.select(col("ia").as("src"), col("ib").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -712,25 +690,47 @@ object TrainingOps {
       val d = df.agg(sum(col("l").cast("decimal(38,0)"))).first.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
+    // materialize round 0 (which also builds the upstream pair/shingle
+    // caches at the session's full width) BEFORE narrowing the loop
     var prevSum = labelSum(labels)
-    var changed = true
-    var iters = 0
-    while (changed) {
-      iters += 1
-      require(iters <= maxIters, s"connectedComponents: no fixpoint after $maxIters rounds")
-      val viaEdge = edges
-        .join(labels.select(col("v").as("src"), col("l")), "src")
-        .select(col("dst").as("v"), col("l"))
-      val next = viaEdge.unionAll(labels)
-        .groupBy("v").agg(min("l").as("l"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
+    // A persist()'d plan is by default built WITHOUT adaptive execution
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
+    // so every loop round's cached label frame was built through a full
+    // session-width shuffle (32 near-empty state tasks per round at gate
+    // scale) no matter what AQE would have coalesced it to. Enable the
+    // flag for the LOOP ONLY and restore it after — scoping matters: on
+    // during round 0 it lets AQE coalesce the upstream CPU-heavy shingle
+    // self-join from its small byte estimate. Inside the loop AQE sizes
+    // each round's shuffle from its actual bytes — one task at gate
+    // scale, the advisory width at production pair volumes.
+    // Scale-adaptive, not a local tune.
+    val spark = pairs.sparkSession
+    val flag = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevFlag = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      var changed = true
+      var iters = 0
+      while (changed) {
+        iters += 1
+        require(iters <= maxIters, s"connectedComponents: no fixpoint after $maxIters rounds")
+        val viaEdge = edges
+          .join(labels.select(col("v").as("src"), col("l")), "src")
+          .select(col("dst").as("v"), col("l"))
+        val next = viaEdge.unionAll(labels)
+          .groupBy("v").agg(min("l").as("l"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextSum = labelSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
+        labels.unpersist()
+        labels = next
+      }
+      System.err.println(s"[cc] fixpoint after $iters rounds")
+    } finally prevFlag match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
     }
-    System.err.println(s"[cc] fixpoint after $iters rounds")
     edges.unpersist()
     labels
   }
