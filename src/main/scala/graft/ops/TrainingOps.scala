@@ -267,7 +267,9 @@ object TrainingOps {
         .filter(col("df") > ShingleFreqCap).select("s").unpersist()
     }
     capBindsMemo.clear()
-    liveLabelFrames.remove(sessionKey(s)).foreach(_.foreach(_.unpersist()))
+    liveLabelFrames.synchronized {
+      liveLabelFrames.remove((sessionKey(s), dir))
+    }.foreach(_.foreach(_.unpersist()))
     bpeMemo.keys.filter(_._1 == sessionKey(s)).foreach(bpeMemo.remove)
     simhashSigs(s, dir).unpersist()
     keywordTf(s, dir).unpersist()
@@ -475,8 +477,20 @@ object TrainingOps {
     */
   def buildIvfIndex(s: SparkSession, dir: String, cells: Int,
       fmt: TableFormat = ParquetFormat): DataFrame = {
-    val (_, cand) = ivfInputs(s, dir)
-    val slots = ivfLloyd(cand, cells)
+    val (_, cand0) = ivfInputs(s, dir)
+    // the candidate cache lives through BOTH the Lloyd chain's collects
+    // AND the eager assignments write (unpersisting between them would
+    // re-read the full corpus from parquet for a frame cached moments
+    // earlier — at the 100 TB deployment shape, one avoidable corpus
+    // scan per index build); released before returning.
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildIvfIndexStaged(s, dir, cand, cells, fmt)
+    finally cand.unpersist()
+  }
+
+  private def buildIvfIndexStaged(s: SparkSession, dir: String,
+      cand: DataFrame, cells: Int, fmt: TableFormat): DataFrame = {
+    val slots = ivfLloydBody(cand, cells)
     val idx = ivfIndexDir(s, dir)
     val tmp = idx + ".build-" + java.util.UUID.randomUUID().toString.take(8)
     fmt.overwritePartitions(ivfAssign(cand, slots), s"$tmp/assignments", Seq.empty)
@@ -666,6 +680,9 @@ object TrainingOps {
     * `maxIters` guard turns a pathological non-convergence into a loud
     * failure instead of an infinite loop.
     */
+  /** Serializes the loop-scoped conf flip in [[connectedComponents]]. */
+  private val ccFlagLock = new Object
+
   private[graft] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col("ia").as("src"), col("ib").as("dst"))
@@ -703,9 +720,14 @@ object TrainingOps {
     // self-join from its small byte estimate. Inside the loop AQE sizes
     // each round's shuffle from its actual bytes — one task at gate
     // scale, the advisory width at production pair volumes.
-    // Scale-adaptive, not a local tune.
+    // Scale-adaptive, not a local tune. The flip is serialized under
+    // ccFlagLock: two overlapping invocations on one session would
+    // otherwise interleave their save/restore and could leave the flag
+    // set session-wide (concurrent driver-side job submission is an
+    // endorsed pattern elsewhere in this repo).
     val spark = pairs.sparkSession
     val flag = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    ccFlagLock.synchronized {
     val prevFlag = spark.conf.getOption(flag)
     spark.conf.set(flag, "true")
     try {
@@ -731,6 +753,7 @@ object TrainingOps {
       case Some(v) => spark.conf.set(flag, v)
       case None => spark.conf.unset(flag)
     }
+    }
     edges.unpersist()
     labels
   }
@@ -745,15 +768,29 @@ object TrainingOps {
     * jobs), so its final persisted labels frame outlives the call — each
     * invocation is tracked here SOLELY so releaseCaches can unpersist it
     * (storage bookkeeping, not a memo: every invocation recomputes the
-    * fixpoint from the pair frame).
+    * fixpoint from the pair frame). Keyed per (session, dir) like the
+    * other session caches, updated under the map's lock (a lost race
+    * would leak a persisted frame forever), and BOUNDED: beyond the
+    * newest [[MaxLiveLabelFrames]] per key the oldest frames are
+    * unpersisted eagerly — consumers of an already-returned result just
+    * recompute through the (still cached) pair frame, so correctness is
+    * unaffected and a release-less long-lived session cannot accumulate
+    * storage.
     */
-  private val liveLabelFrames = scala.collection.concurrent.TrieMap
-    .empty[String, List[DataFrame]]
+  private val MaxLiveLabelFrames = 4
+  private val liveLabelFrames = scala.collection.mutable.Map
+    .empty[(String, String), List[DataFrame]]
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val labels = connectedComponents(
       dedupNgram(s, dir, ShingleFreqCap).select(col("ia"), col("ib")))
-    val k = sessionKey(s)
-    liveLabelFrames.put(k, labels :: liveLabelFrames.getOrElse(k, Nil))
+    val k = (sessionKey(s), dir)
+    val evicted = liveLabelFrames.synchronized {
+      val all = labels :: liveLabelFrames.getOrElse(k, Nil)
+      val (keep, old) = all.splitAt(MaxLiveLabelFrames)
+      liveLabelFrames.put(k, keep)
+      old
+    }
+    evicted.foreach(_.unpersist())
     labels
       .select(col("v").as("doc_id"), col("l").as("cluster"),
         (col("v") === col("l")).as("keep"))
