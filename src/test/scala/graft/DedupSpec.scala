@@ -66,6 +66,49 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("connected components: random graphs agree with a plain-Scala union-find") {
+    import spark.implicits._
+    // property pin for the r6 label-sum convergence detector: on seeded
+    // random graphs (long chains, merged blobs, isolated pairs all arise)
+    // the distributed fixpoint must match an independent union-find
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val es = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map(v => v -> find(v)).toMap
+      val got = graft.ops.TrainingOps
+        .connectedComponents(es.toDF("ia", "ib"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("dedup_clusters: repeated invocations stay correct past the live-frame bound") {
+    // each invocation recomputes the fixpoint and registers its persisted
+    // labels frame; beyond the bookkeeping bound the oldest frames are
+    // evicted eagerly — results must be identical throughout (an evicted
+    // frame's consumers recompute through the cached pair frame)
+    def run() = graft.ops.TrainingOps.queries("dedup_clusters")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val first = run()
+    (1 to 4).foreach(_ =>
+      graft.ops.TrainingOps.queries("dedup_clusters")(spark, sf("0.001")).count())
+    assert(run() === first)
+  }
+
   test("dedup_clusters covers exactly the paired docs, one keeper per cluster") {
     val pairRows = pairs(1000000)
     val docs = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
